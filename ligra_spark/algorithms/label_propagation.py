@@ -1,0 +1,65 @@
+"""Community detection by synchronous label propagation.
+
+The reference's Components.C *is* hash-min label propagation (its
+functor, Components.C:26-41, literally propagates minimum labels), and
+Components-Shortcut.C:25-27 cites the shortcutted-LP paper. Classic
+most-frequent-label community LP is the same edgeMap skeleton with the
+combiner swapped from ``min`` to ``mode``: each round every vertex
+adopts the most frequent label among its neighbors, breaking ties by
+**minimum label** so rounds are deterministic and reproducible across
+partitionings (SURVEY.md §2.6).
+
+Mode is not an algebraic combiner, so it runs as two hash aggregations:
+``groupBy(dst, label).count()`` (partial-agg friendly, skew-safe) then a
+per-destination argmax via ``max(struct(count, -label))`` — avoiding a
+window sort entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
+from ligra_spark.graph import Graph
+
+
+def label_propagation(
+    graph: Graph,
+    max_iters: int = 20,
+    symmetrize: bool = True,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """Returns ``(id LONG, label LONG)`` after convergence or
+    ``max_iters`` synchronous rounds."""
+    g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
+    state = materialize(g.vertices.select("id", F.col("id").alias("label")))
+
+    timer = Timer()
+    for it in range(max_iters):
+        nbr_labels = (
+            state.withColumnRenamed("id", "src")
+            .join(g.edges_by_src, "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # argmax by (count, then min label): labels are non-negative
+        # vertex ids, so max(struct(cnt, -label)) picks highest count,
+        # ties broken by smallest label — deterministic.
+        best = nbr_labels.groupBy("id").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top")
+        ).select("id", (-F.col("top.neg")).alias("new_label"))
+        nxt = state.join(best, "id", "left").select(
+            "id",
+            "label",
+            F.coalesce("new_label", "label").alias("label_next"),
+        )
+        nxt = materialize(nxt)
+        changed = nxt.where(F.col("label") != F.col("label_next")).count()
+        state.unpersist()
+        state = nxt.select("id", F.col("label_next").alias("label"))
+        if metrics is not None:
+            metrics.record(it, changed=changed, wall_s=timer.lap())
+        if changed == 0:
+            break
+    return state

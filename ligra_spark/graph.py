@@ -1,0 +1,199 @@
+"""Distributed graph representation.
+
+The reference keeps a shared-memory CSR (``graph<vertex>``,
+/root/reference/ligra/graph.h:98-128) with per-vertex neighbor pointers;
+asymmetric graphs additionally keep an in-edge CSR built at load time
+(IO.h:235-309), and ``transpose()`` (graph.h:119-127) flips the two.
+
+Here the graph is a pair of hash-partitioned, persisted DataFrames:
+
+- ``edges_by_src`` — ``(src LONG, dst LONG [, w])`` repartitioned on
+  ``src``: the out-CSR analog. Joining per-vertex state (partitioned on
+  the same key) is then exchange-free on the edge side — the per-
+  iteration shuffle moves only gathered messages, never the edge table.
+- ``edges_by_dst`` — same rows repartitioned on ``dst``: the in-CSR /
+  ``transpose()`` analog, built once up front.
+- ``degrees`` — ``(id, out_deg, in_deg)`` for direction decisions
+  (frontier out-degree sum, ligra.h:248-259) and PageRank's
+  ``p[s]/outdeg(s)`` gather.
+
+Vertex IDs are 64-bit longs (we target 10^12-turn scale; the reference's
+32-bit default, parallel.h:114-125, does not survive that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+class Graph:
+    """Immutable distributed graph over an edge DataFrame.
+
+    Parameters
+    ----------
+    edges : DataFrame with columns ``src`` (long), ``dst`` (long) and
+        optionally ``w`` (double) — analogous to the weighted CSR's
+        interleaved (neighbor, weight) pairs (vertex.h:214-231).
+    symmetric : the graph is already symmetric (every edge present in
+        both directions), like Ligra's ``-s`` flag.
+    dedupe : drop duplicate (src, dst) rows and self-loops, matching
+        the simple-graph assumption of Triangle.C:25-28.
+    """
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        *,
+        symmetric: bool = False,
+        dedupe: bool = False,
+        num_partitions: int | None = None,
+        persist: bool = True,
+    ) -> None:
+        self.spark: SparkSession = edges.sparkSession
+        self.weighted = "w" in edges.columns
+        cols = ["src", "dst"] + (["w"] if self.weighted else [])
+        edges = edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            *([F.col("w").cast("double")] if self.weighted else []),
+        )
+        if dedupe:
+            edges = edges.where(F.col("src") != F.col("dst")).dropDuplicates(
+                ["src", "dst"]
+            )
+        self.symmetric = symmetric
+
+        if num_partitions is None:
+            num_partitions = int(
+                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        self.num_partitions = num_partitions
+
+        # Out-CSR analog: partitioned by src so state⋈edges is local.
+        self.edges_by_src = edges.repartition(num_partitions, "src").select(cols)
+        # In-CSR analog (IO.h:235-309): built once, partitioned by dst so
+        # the message groupBy(dst) after a broadcast join is exchange-free.
+        self.edges_by_dst = edges.repartition(num_partitions, "dst").select(cols)
+        if persist:
+            self.edges_by_src.persist(StorageLevel.MEMORY_AND_DISK)
+            self.edges_by_dst.persist(StorageLevel.MEMORY_AND_DISK)
+
+        self._degrees: DataFrame | None = None
+        self._vertices: DataFrame | None = None
+        self._n: int | None = None
+        self._m: int | None = None
+
+    # -- vertex set -----------------------------------------------------
+    @property
+    def vertices(self) -> DataFrame:
+        """All vertex ids appearing as an endpoint: ``(id LONG)``.
+
+        The reference's vertex set is dense [0, n); ours is whatever ids
+        the edge derivation produced. Algorithms that need isolated
+        vertices pass an explicit vertices DF instead.
+        """
+        if self._vertices is None:
+            v = (
+                self.edges_by_src.select(F.col("src").alias("id"))
+                .unionAll(self.edges_by_dst.select(F.col("dst").alias("id")))
+                .distinct()
+                .repartition(self.num_partitions, "id")
+            )
+            self._vertices = v.persist(StorageLevel.MEMORY_AND_DISK)
+        return self._vertices
+
+    @property
+    def degrees(self) -> DataFrame:
+        """``(id, out_deg, in_deg)`` — drives the m/20 direction heuristic
+        (ligra.h:238) and PageRank's out-degree division."""
+        if self._degrees is None:
+            out_d = self.edges_by_src.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("out_deg")
+            )
+            in_d = self.edges_by_dst.groupBy(F.col("dst").alias("id")).agg(
+                F.count(F.lit(1)).alias("in_deg")
+            )
+            deg = (
+                self.vertices.join(out_d, "id", "left")
+                .join(in_d, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                )
+                .repartition(self.num_partitions, "id")
+            )
+            self._degrees = deg.persist(StorageLevel.MEMORY_AND_DISK)
+        return self._degrees
+
+    @property
+    def n(self) -> int:
+        if self._n is None:
+            self._n = self.vertices.count()
+        return self._n
+
+    @property
+    def m(self) -> int:
+        if self._m is None:
+            self._m = self.edges_by_src.count()
+        return self._m
+
+    # -- derived graphs ---------------------------------------------------
+    def symmetrized(self) -> "Graph":
+        """Undirected view: union of edges and reversed edges, deduped —
+        what Ligra's symmetric-input apps (Components, Triangle, KCore)
+        assume of their ``-s`` input."""
+        if self.symmetric:
+            return self
+        rev_cols = [F.col("dst").alias("src"), F.col("src").alias("dst")] + (
+            [F.col("w")] if self.weighted else []
+        )
+        both = self.edges_by_src.unionAll(self.edges_by_src.select(rev_cols))
+        return Graph(
+            both,
+            symmetric=True,
+            dedupe=True,
+            num_partitions=self.num_partitions,
+        )
+
+    def transpose(self) -> "Graph":
+        """graph.transpose() analog (graph.h:119-127): O(1) — both edge
+        orientations are already materialized, so just swap roles."""
+        g = object.__new__(Graph)
+        g.spark = self.spark
+        g.weighted = self.weighted
+        g.symmetric = self.symmetric
+        g.num_partitions = self.num_partitions
+        cols = [F.col("dst").alias("src"), F.col("src").alias("dst")] + (
+            [F.col("w")] if self.weighted else []
+        )
+        g.edges_by_src = self.edges_by_dst.select(cols)
+        g.edges_by_dst = self.edges_by_src.select(cols)
+        g._vertices = self._vertices
+        g._n = self._n
+        g._m = self._m
+        g._degrees = None
+        if self._degrees is not None:
+            g._degrees = self._degrees.select(
+                "id",
+                F.col("in_deg").alias("out_deg"),
+                F.col("out_deg").alias("in_deg"),
+            )
+        return g
+
+    def pack_edges(self, predicate) -> "Graph":
+        """packEdges analog (ligra.h:288-334): the reference mutates
+        adjacency lists in place; immutable DataFrames re-materialize a
+        filtered edge set instead (same asymptotics, no mutation)."""
+        return Graph(
+            self.edges_by_src.where(predicate),
+            symmetric=self.symmetric,
+            num_partitions=self.num_partitions,
+        )
+
+    def unpersist(self) -> None:
+        for df in (self.edges_by_src, self.edges_by_dst, self._degrees, self._vertices):
+            if df is not None:
+                df.unpersist()

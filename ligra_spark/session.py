@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults mirror what we would submit to a 1000-executor cluster via
+``spark-submit``: AQE on (runtime re-plan + skew-join splitting +
+partition coalescing), Arrow enabled for the vectorized kernels, and a
+shuffle-partition count sized by the caller (tests use small counts,
+bench uses the core count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    # Let AQE re-plan after each shuffle: coalesce tiny partitions on
+    # small frontiers, split skewed ones on hub vertices.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas/Arrow UDF kernels and toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Iterative algorithms re-broadcast small frontiers every round;
+    # keep the threshold generous (frontiers are (id[,payload]) rows).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Deterministic timestamps in tests regardless of host TZ.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "ligra_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``); on a real cluster the caller passes master/conf via
+    spark-submit and this function only applies the analytics defaults.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

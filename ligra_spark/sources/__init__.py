@@ -1,0 +1,16 @@
+from ligra_spark.sources.adjacency import read_adjacency_graph
+from ligra_spark.sources.events import edges_from_events, event_type_graph
+from ligra_spark.sources.transcripts import (
+    derive_edges,
+    generate_transcripts,
+    vertex_ids,
+)
+
+__all__ = [
+    "derive_edges",
+    "edges_from_events",
+    "event_type_graph",
+    "generate_transcripts",
+    "read_adjacency_graph",
+    "vertex_ids",
+]

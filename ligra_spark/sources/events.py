@@ -1,0 +1,79 @@
+"""Edge derivations over the driver testdata ``events`` table.
+
+These exist so the SQL-expressible slice of the engine gets DuckDB
+oracle coverage (__spark_entry__ contract): the same derivations are
+written as ANSI SQL in ``oracle_sql()``.
+
+- ``edges_from_events``: per-user event chains — each event links to the
+  user's previous event (ordered by ts, event_id). A union of disjoint
+  paths: connected components of this graph are exactly
+  ``min(event_id) per user``, giving a **closed-form SQL oracle for a
+  fixpoint algorithm**.
+- ``event_type_graph``: co-occurrence graph over event *types* (two
+  types linked iff some user emitted both). Small and dense → has
+  triangles; the type vertex id is ``min(event_id)`` of that type so
+  Spark and DuckDB agree without relying on engine-specific hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def edges_from_events(events: DataFrame) -> DataFrame:
+    """``(src, dst)``: event → user's previous event."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_id").alias("src"),
+            F.lag("event_id").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+    )
+
+
+EDGES_FROM_EVENTS_SQL = """
+SELECT src, dst FROM (
+  SELECT event_id AS src,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+) WHERE dst IS NOT NULL
+"""
+
+
+def event_type_graph(events: DataFrame) -> DataFrame:
+    """``(src, dst)`` with src < dst: distinct event-type pairs
+    co-occurring for at least one user; type id = min(event_id) of the
+    type."""
+    type_ids = events.groupBy("event_type").agg(
+        F.min("event_id").alias("type_id")
+    )
+    ue = (
+        events.join(type_ids, "event_type")
+        .select("user_id", "type_id")
+        .distinct()
+    )
+    a, b = ue.alias("a"), ue.alias("b")
+    return (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .where(F.col("a.type_id") < F.col("b.type_id"))
+        .select(F.col("a.type_id").alias("src"), F.col("b.type_id").alias("dst"))
+        .distinct()
+    )
+
+
+EVENT_TYPE_GRAPH_SQL = """
+WITH type_ids AS (
+  SELECT event_type, MIN(event_id) AS type_id FROM events GROUP BY event_type
+), ue AS (
+  SELECT DISTINCT e.user_id, t.type_id
+  FROM events e JOIN type_ids t ON e.event_type = t.event_type
+)
+SELECT DISTINCT a.type_id AS src, b.type_id AS dst
+FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.type_id < b.type_id
+"""

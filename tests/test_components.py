@@ -1,0 +1,96 @@
+"""Connected components + label propagation + triangles: exact parity
+vs oracles (BASELINE.json: components/triangles/labels exact)."""
+
+from __future__ import annotations
+
+from conftest import CHAIN_64, K4, SELF_LOOPS_DUPS, STAR_HUB, TWO_COMPONENTS
+from ligra_spark.algorithms import (
+    connected_components,
+    kcore,
+    label_propagation,
+    triangle_count,
+    triangles_per_vertex,
+)
+from oracles import (
+    components_oracle,
+    kcore_oracle,
+    label_propagation_oracle,
+    triangle_count_oracle,
+)
+
+
+def _cc_check(mk_graph, edges, shortcut=False):
+    g = mk_graph(edges)
+    got = {r["id"]: r["comp"] for r in connected_components(g, shortcut=shortcut).collect()}
+    assert got == components_oracle(edges)
+    g.unpersist()
+
+
+def test_cc_two_components(mk_graph):
+    _cc_check(mk_graph, TWO_COMPONENTS)
+
+
+def test_cc_chain(mk_graph):
+    _cc_check(mk_graph, CHAIN_64)
+
+
+def test_cc_chain_shortcut(mk_graph):
+    _cc_check(mk_graph, CHAIN_64, shortcut=True)
+
+
+def test_cc_star(mk_graph):
+    _cc_check(mk_graph, STAR_HUB)
+
+
+def test_cc_self_loops_dups(mk_graph):
+    _cc_check(mk_graph, SELF_LOOPS_DUPS)
+
+
+def test_lp_two_components(mk_graph):
+    edges = TWO_COMPONENTS
+    g = mk_graph(edges)
+    got = {r["id"]: r["label"] for r in label_propagation(g).collect()}
+    assert got == label_propagation_oracle(edges)
+    g.unpersist()
+
+
+def test_lp_star(mk_graph):
+    g = mk_graph(STAR_HUB)
+    got = {r["id"]: r["label"] for r in label_propagation(g, max_iters=5).collect()}
+    assert got == label_propagation_oracle(STAR_HUB, max_iters=5)
+    g.unpersist()
+
+
+def test_triangles_k4(mk_graph):
+    g = mk_graph(K4)
+    assert triangle_count(g) == 4 == triangle_count_oracle(K4)
+    per_v = {r["id"]: r["triangles"] for r in triangles_per_vertex(g).collect()}
+    assert per_v == {0: 3, 1: 3, 2: 3, 3: 3}
+    g.unpersist()
+
+
+def test_triangles_two_cliques(mk_graph):
+    # C(5,3) + C(7,3) = 10 + 35 = 45 (FIXTURES.md §3)
+    g = mk_graph(TWO_COMPONENTS)
+    assert triangle_count(g) == 45 == triangle_count_oracle(TWO_COMPONENTS)
+    g.unpersist()
+
+
+def test_triangles_self_loops_dups(mk_graph):
+    g = mk_graph(SELF_LOOPS_DUPS)
+    assert triangle_count(g) == triangle_count_oracle(SELF_LOOPS_DUPS) == 1
+    g.unpersist()
+
+
+def test_triangles_chain_has_none(mk_graph):
+    g = mk_graph(CHAIN_64)
+    assert triangle_count(g) == 0
+    g.unpersist()
+
+
+def test_kcore_cliques(mk_graph):
+    edges = TWO_COMPONENTS + [(0, 10)]  # bridge the cliques
+    g = mk_graph(edges)
+    got = {r["id"]: r["core"] for r in kcore(g).collect()}
+    assert got == kcore_oracle(edges)
+    g.unpersist()
