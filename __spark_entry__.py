@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: PageRank over the event-chain link graph
+at sf0.001. ``queries()``/``oracle_sql()`` — one entry per implemented
+operator (see ligra_spark/queries.py for the registry and the
+cross-engine determinism rules).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ligra_spark.algorithms import pagerank  # noqa: E402
+from ligra_spark.graph import Graph  # noqa: E402
+from ligra_spark.queries import ORACLE_SQL, QUERIES  # noqa: E402
+from ligra_spark.sources.events import edges_from_events  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: derive the event-chain link graph from
+    /root/testdata/sf0.001 and run PageRank; returns (id, rank,
+    out_deg, in_deg) for the top-ranked vertices."""
+    from pyspark.sql import functions as F
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    g = Graph(edges_from_events(events), num_partitions=8)
+    pr = pagerank(g, max_iters=20)
+    return (
+        pr.join(g.degrees, "id")
+        .orderBy(F.col("rank").desc(), F.col("id"))
+        .limit(100)
+        .select("id", "rank", "out_deg", "in_deg")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Protocol mirrors the reference driver (1 untimed warmup + timed rounds,
+ligra.h:480,490-495) where feasible; iterative queries run once (they
+are already many Spark jobs, cold-start effects amortize internally).
+
+Headline queries (BASELINE.json metric: edges-processed/sec for
+PageRank + CC on the transcript-derived edge graph):
+
+- pagerank_transcripts: 20 fixed power iterations over the edge graph
+  derived from a deterministic synthetic transcripts table sized by sf
+  (no external data; seed 42).
+- cc_transcripts: hash-min + pointer-jump shortcut to fixpoint.
+- lp_transcripts: 5 synchronous label-propagation rounds.
+- triangle_rmat: exact triangle count on a skewed R-MAT graph
+  (transcript chains are triangle-free by construction, so TC gets the
+  reference's own generator shape instead).
+- pagerank_events / cc_events: same algorithms over the sf_dir events
+  chains (driver testdata).
+- minhash_lsh_docs, ann_topk: training-data-pipeline headliners.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ligra_spark.algorithms import (  # noqa: E402
+    connected_components,
+    label_propagation,
+    pagerank,
+    triangle_count,
+)
+from ligra_spark.graph import Graph  # noqa: E402
+from ligra_spark.queries import q_ann_topk, q_minhash_lsh_docs  # noqa: E402
+from ligra_spark.session import get_spark  # noqa: E402
+from ligra_spark.sources import derive_edges, generate_transcripts  # noqa: E402
+from ligra_spark.sources.events import edges_from_events  # noqa: E402
+from ligra_spark.sources.rmat import rmat_graph_df  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PR_ITERS = 20
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.1
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    spark = get_spark(
+        "ligra_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # ---- transcript-derived link graph (the north-star input) -------------
+    n_conv = max(200, int(200_000 * sf))
+    transcripts = generate_transcripts(spark, n_conv)
+    g = Graph(derive_edges(transcripts), num_partitions=CPUS)
+    m = g.m  # materializes the cached edge DataFrames (untimed warmup)
+    _ = g.degrees.count()
+    extras["transcript_edges"] = m
+
+    timed("pagerank_transcripts", lambda: pagerank(g, max_iters=PR_ITERS).count())
+    extras["pagerank_edges_per_sec"] = round(
+        m * PR_ITERS / timings["pagerank_transcripts"], 1
+    )
+    timed("cc_transcripts", lambda: connected_components(g, shortcut=True).count())
+    extras["cc_edges_per_sec"] = round(
+        2 * m / timings["cc_transcripts"], 1
+    )  # symmetrized
+    timed("lp_transcripts", lambda: label_propagation(g, max_iters=5).count())
+    g.unpersist()
+
+    # ---- skewed R-MAT graph for triangle counting --------------------------
+    rmat_m = max(10_000, int(5_000_000 * sf))
+    rg = Graph(rmat_graph_df(spark, 17, rmat_m), dedupe=True, num_partitions=CPUS)
+    _ = rg.m
+    tri = timed("triangle_rmat", lambda: triangle_count(rg))
+    extras["rmat_triangles"] = tri
+    rg.unpersist()
+
+    # ---- driver testdata graphs -------------------------------------------
+    ev = Graph(
+        edges_from_events(spark.read.parquet(f"{SF_DIR}/events.parquet")),
+        num_partitions=CPUS,
+    )
+    _ = ev.m
+    timed("pagerank_events", lambda: pagerank(ev, max_iters=PR_ITERS).count())
+    timed("cc_events", lambda: connected_components(ev, shortcut=True).count())
+    ev.unpersist()
+
+    # ---- training-data pipeline ops ----------------------------------------
+    timed("minhash_lsh_docs", lambda: q_minhash_lsh_docs(spark, SF_DIR).count())
+    timed("ann_topk", lambda: q_ann_topk(spark, SF_DIR).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

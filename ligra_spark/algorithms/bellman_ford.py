@@ -51,15 +51,14 @@ def bellman_ford(
         improved = joined.where(
             F.col("dist").isNull() | (F.col("msg") < F.col("dist"))
         ).select("id", F.col("msg").alias("dist"))
-        improved = materialize(improved)
+        improved = materialize(improved, frontier if it > 0 else None)
         frontier_n = improved.count()
         if frontier_n == 0:
             break
-        state_next = materialize(
+        state = materialize(
             state.join(improved.select("id"), "id", "left_anti").unionAll(improved),
             state,
         )
-        state = state_next
         frontier = improved
         if metrics is not None:
             metrics.record(it, frontier=frontier_n, wall_s=timer.lap())

@@ -24,21 +24,31 @@ from ligra_spark.operators.edge_map import edge_map
 
 def bfs(
     graph: Graph,
-    source: int,
+    source,
     max_iters: int = 10_000,
     metrics: IterMetrics | None = None,
 ) -> DataFrame:
-    """Returns ``(id, parent, dist)`` for reachable vertices; the source
-    has ``parent = -1, dist = 0`` (Parents[start] = start in BFS.C:47,
-    reported as the conventional -1 root marker here)."""
+    """Returns ``(id, parent, dist)`` for reachable vertices; sources
+    have ``parent = -1, dist = 0`` (Parents[start] = start in BFS.C:47,
+    reported as the conventional -1 root marker here).
+
+    ``source``: a vertex id, a list of ids, or a DataFrame with an
+    ``id`` column — the multi-source form is the kBFS building block
+    (apps/eccentricity run 64 simultaneous BFS the same way)."""
     spark = graph.spark
+    if isinstance(source, DataFrame):
+        seeds = source.select("id")
+    elif isinstance(source, (list, tuple, set)):
+        seeds = spark.createDataFrame([(int(s),) for s in source], "id long")
+    else:
+        seeds = spark.createDataFrame([(int(source),)], "id long")
     visited = materialize(
-        spark.createDataFrame(
-            [(int(source), -1, 0)], "id long, parent long, dist int"
+        seeds.select(
+            "id", F.lit(-1).cast("long").alias("parent"), F.lit(0).alias("dist")
         )
     )
     frontier = visited.select("id")
-    frontier_n = 1
+    frontier_n = frontier.count()
 
     timer = Timer()
     for it in range(max_iters):
@@ -50,10 +60,9 @@ def bfs(
             msgs.join(visited.select("id"), "id", "left_anti")
             .select("id", F.col("msg").alias("parent"), F.lit(it + 1).alias("dist"))
         )
-        visited_next = materialize(visited.unionAll(new))
+        visited_next = materialize(visited.unionAll(new), visited)
         frontier = visited_next.where(F.col("dist") == it + 1).select("id")
         frontier_n = frontier.count()
-        visited.unpersist()
         visited = visited_next
         if metrics is not None:
             metrics.record(it, frontier=frontier_n, wall_s=timer.lap())

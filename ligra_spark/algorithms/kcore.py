@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
+from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize, unpersist
 from ligra_spark.graph import Graph
 from ligra_spark.operators.edge_map import edge_map
 
@@ -46,7 +46,7 @@ def kcore(
             peel = materialize(peel)
             n_peel = peel.count()
             if n_peel == 0:
-                peel.unpersist()
+                unpersist(peel)
                 break
             remaining -= n_peel
             decr = edge_map(
@@ -69,7 +69,7 @@ def kcore(
             )
             nxt = materialize(nxt, state)
             state = nxt
-            peel.unpersist()
+            unpersist(peel)
         if metrics is not None:
             metrics.record(k, remaining=remaining, wall_s=timer.lap())
         k += 1

@@ -54,10 +54,10 @@ def label_propagation(
             "label",
             F.coalesce("new_label", "label").alias("label_next"),
         )
-        nxt = materialize(nxt)
+        nxt = materialize(nxt, state)
         changed = nxt.where(F.col("label") != F.col("label_next")).count()
-        state.unpersist()
         state = nxt.select("id", F.col("label_next").alias("label"))
+        state._ligra_ckpt = getattr(nxt, "_ligra_ckpt", nxt)
         if metrics is not None:
             metrics.record(it, changed=changed, wall_s=timer.lap())
         if changed == 0:

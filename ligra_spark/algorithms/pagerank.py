@@ -75,11 +75,10 @@ def pagerank(
                 "rank_next"
             ),
         )
-        nxt = materialize(nxt)
+        nxt = materialize(nxt, state)
         l1 = nxt.agg(F.sum(F.abs(F.col("rank_next") - F.col("rank")))).first()[0]
-        new_state = nxt.select("id", "out_deg", F.col("rank_next").alias("rank"))
-        state.unpersist()
-        state = new_state
+        state = nxt.select("id", "out_deg", F.col("rank_next").alias("rank"))
+        state._ligra_ckpt = getattr(nxt, "_ligra_ckpt", nxt)
         if metrics is not None:
             metrics.record(it, l1=float(l1), wall_s=timer.lap(), edges=graph.m)
         if checkpointer is not None:
@@ -155,6 +154,7 @@ def pagerank_delta(
         nxt = materialize(nxt, state)
         state = nxt
         l1 = nxt.agg(F.sum(F.abs("delta"))).first()[0] or 0.0
+        # (frontier below shares nxt's checkpoint blocks)
         frontier = nxt.where(F.abs(F.col("delta")) > F.col("p") * eps2).select(
             "id", "out_deg", "delta"
         )

