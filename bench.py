@@ -33,6 +33,10 @@ import sys
 import time
 from pathlib import Path
 
+# one BLAS thread per task — Spark supplies the process-level parallelism
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ligra_spark.algorithms import (  # noqa: E402
@@ -50,7 +54,16 @@ from ligra_spark.sources.rmat import rmat_graph_df  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PR_ITERS = 20
+PR_ITERS = int(os.environ.get("SPARK_GRAFT_PR_ITERS", "20"))
+# override the sf-derived transcript size (used by bench_scaling.py to
+# run a compute-dominated input where per-job overhead amortizes)
+N_CONV = os.environ.get("SPARK_GRAFT_NCONV")
+# comma-separated subset of queries to run (empty = all)
+ONLY = {q for q in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if q}
+
+
+def _want(name: str) -> bool:
+    return not ONLY or name in ONLY
 
 
 def _sf_from_dir(d: str) -> float:
@@ -75,45 +88,97 @@ def main() -> None:
         return out
 
     # ---- transcript-derived link graph (the north-star input) -------------
-    n_conv = max(200, int(200_000 * sf))
-    transcripts = generate_transcripts(spark, n_conv)
-    g = Graph(derive_edges(transcripts), num_partitions=CPUS)
-    m = g.m  # materializes the cached edge DataFrames (untimed warmup)
-    _ = g.degrees.count()
-    extras["transcript_edges"] = m
+    transcript_queries = ("pagerank_transcripts", "cc_transcripts", "lp_transcripts")
+    if any(_want(q) for q in transcript_queries):
+        n_conv = int(N_CONV) if N_CONV else max(200, int(200_000 * sf))
+        transcripts = generate_transcripts(spark, n_conv)
+        g = Graph(derive_edges(transcripts), num_partitions=CPUS)
+        m = g.m  # materializes the cached edge DataFrames (untimed warmup)
+        _ = g.degrees.count()
+        extras["transcript_edges"] = m
 
-    timed("pagerank_transcripts", lambda: pagerank(g, max_iters=PR_ITERS).count())
-    extras["pagerank_edges_per_sec"] = round(
-        m * PR_ITERS / timings["pagerank_transcripts"], 1
-    )
-    timed("cc_transcripts", lambda: connected_components(g, shortcut=True).count())
-    extras["cc_edges_per_sec"] = round(
-        2 * m / timings["cc_transcripts"], 1
-    )  # symmetrized
-    timed("lp_transcripts", lambda: label_propagation(g, max_iters=5).count())
-    g.unpersist()
+        if _want("pagerank_transcripts"):
+            timed(
+                "pagerank_transcripts",
+                lambda: pagerank(g, max_iters=PR_ITERS).count(),
+            )
+            extras["pagerank_edges_per_sec"] = round(
+                m * PR_ITERS / timings["pagerank_transcripts"], 1
+            )
+        if _want("cc_transcripts"):
+            timed("cc_transcripts", lambda: connected_components(g).count())
+            extras["cc_edges_per_sec"] = round(
+                2 * m / timings["cc_transcripts"], 1
+            )  # symmetrized
+        if _want("lp_transcripts"):
+            timed("lp_transcripts", lambda: label_propagation(g, max_iters=5).count())
+        g.unpersist()
 
     # ---- skewed R-MAT graph for triangle counting --------------------------
-    rmat_m = max(10_000, int(5_000_000 * sf))
-    rg = Graph(rmat_graph_df(spark, 17, rmat_m), dedupe=True, num_partitions=CPUS)
-    _ = rg.m
-    tri = timed("triangle_rmat", lambda: triangle_count(rg))
-    extras["rmat_triangles"] = tri
-    rg.unpersist()
+    if _want("triangle_rmat"):
+        rmat_m = max(10_000, int(5_000_000 * sf))
+        rg = Graph(rmat_graph_df(spark, 17, rmat_m), dedupe=True, num_partitions=CPUS)
+        _ = rg.m
+        tri = timed("triangle_rmat", lambda: triangle_count(rg))
+        extras["rmat_triangles"] = tri
+        rg.unpersist()
 
     # ---- driver testdata graphs -------------------------------------------
-    ev = Graph(
-        edges_from_events(spark.read.parquet(f"{SF_DIR}/events.parquet")),
-        num_partitions=CPUS,
-    )
-    _ = ev.m
-    timed("pagerank_events", lambda: pagerank(ev, max_iters=PR_ITERS).count())
-    timed("cc_events", lambda: connected_components(ev, shortcut=True).count())
-    ev.unpersist()
+    if _want("pagerank_events") or _want("cc_events"):
+        ev = Graph(
+            edges_from_events(spark.read.parquet(f"{SF_DIR}/events.parquet")),
+            num_partitions=CPUS,
+        )
+        _ = ev.m
+        if _want("pagerank_events"):
+            timed("pagerank_events", lambda: pagerank(ev, max_iters=PR_ITERS).count())
+        if _want("cc_events"):
+            timed("cc_events", lambda: connected_components(ev).count())
+        ev.unpersist()
 
     # ---- training-data pipeline ops ----------------------------------------
-    timed("minhash_lsh_docs", lambda: q_minhash_lsh_docs(spark, SF_DIR).count())
-    timed("ann_topk", lambda: q_ann_topk(spark, SF_DIR).count())
+    if _want("minhash_lsh_docs"):
+        timed("minhash_lsh_docs", lambda: q_minhash_lsh_docs(spark, SF_DIR).count())
+    if _want("ann_topk"):
+        timed("ann_topk", lambda: q_ann_topk(spark, SF_DIR).count())
+
+    # ---- CPU-dense Arrow-kernel similarity search ---------------------------
+    # (synthetic embeddings sized by sf; compute runs in per-core Python
+    # worker processes — the operator class that scales past single-JVM
+    # GC/allocation limits, see BENCH.md)
+    if _want("ann_kernel"):
+        import numpy as np
+        import pandas as pd
+
+        from ligra_spark.functions.similarity import cosine_topk_kernel
+
+        ann_n = int(os.environ.get("SPARK_GRAFT_ANN_N", max(20_000, int(4_000_000 * sf))))
+        ann_q = int(os.environ.get("SPARK_GRAFT_ANN_Q", max(100, ann_n // 200)))
+        dim = 128
+
+        def gen_vecs(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy(np.int64)
+                r = np.random.default_rng(int(ids[0]) + 99)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "embedding": list(
+                            r.normal(size=(len(ids), dim)).astype(np.float32)
+                        ),
+                    }
+                )
+
+        emb = (
+            spark.range(0, ann_n, 1, CPUS)
+            .mapInPandas(gen_vecs, "vec_id long, embedding array<float>")
+            .cache()
+        )
+        emb.count()
+        qs = emb.where(f"vec_id < {ann_q}")
+        timed("ann_kernel", lambda: cosine_topk_kernel(emb, qs, k=5).count())
+        extras["ann_kernel_vectors"] = ann_n
+        emb.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1,19 +1,25 @@
+from ligra_spark.algorithms.bc import betweenness_from_source
 from ligra_spark.algorithms.bellman_ford import bellman_ford
 from ligra_spark.algorithms.bfs import bfs
 from ligra_spark.algorithms.components import connected_components
 from ligra_spark.algorithms.kcore import kcore
 from ligra_spark.algorithms.label_propagation import label_propagation
+from ligra_spark.algorithms.mis import maximal_independent_set
 from ligra_spark.algorithms.pagerank import pagerank, pagerank_delta
+from ligra_spark.algorithms.radii import radii
 from ligra_spark.algorithms.triangle import triangle_count, triangles_per_vertex
 
 __all__ = [
     "bellman_ford",
+    "betweenness_from_source",
     "bfs",
     "connected_components",
     "kcore",
     "label_propagation",
+    "maximal_independent_set",
     "pagerank",
     "pagerank_delta",
+    "radii",
     "triangle_count",
     "triangles_per_vertex",
 ]

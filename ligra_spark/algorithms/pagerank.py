@@ -27,7 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
+from pyspark.storagelevel import StorageLevel
+
+from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize, unpersist
 from ligra_spark.graph import Graph
 
 
@@ -38,6 +40,7 @@ def pagerank(
     max_iters: int = 100,
     metrics: IterMetrics | None = None,
     checkpointer=None,
+    ckpt_every: int = 4,
 ) -> DataFrame:
     """Returns ``(id LONG, rank DOUBLE)`` at convergence."""
     n = graph.n
@@ -75,8 +78,17 @@ def pagerank(
                 "rank_next"
             ),
         )
-        nxt = materialize(nxt, state)
+        # lineage truncation (the driver-loop growth problem) only every
+        # few iterations; in between a cheap cache + the L1 action does
+        # the materialization — one fewer Spark job per iteration
+        is_ckpt = (it + 1) % ckpt_every == 0
+        if is_ckpt:
+            nxt = materialize(nxt, state)
+        else:
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
         l1 = nxt.agg(F.sum(F.abs(F.col("rank_next") - F.col("rank")))).first()[0]
+        if not is_ckpt:
+            unpersist(state)
         state = nxt.select("id", "out_deg", F.col("rank_next").alias("rank"))
         state._ligra_ckpt = getattr(nxt, "_ligra_ckpt", nxt)
         if metrics is not None:

@@ -73,11 +73,14 @@ class Graph:
 
         # Out-CSR analog: partitioned by src so state⋈edges is local.
         self.edges_by_src = edges.repartition(num_partitions, "src").select(cols)
-        # In-CSR analog (IO.h:235-309): built once, partitioned by dst so
-        # the message groupBy(dst) after a broadcast join is exchange-free.
-        self.edges_by_dst = edges.repartition(num_partitions, "dst").select(cols)
         if persist:
             self.edges_by_src.persist(StorageLevel.MEMORY_AND_DISK)
+        # In-CSR analog (IO.h:235-309): built once, partitioned by dst so
+        # the message groupBy(dst) after a broadcast join is exchange-free.
+        # Derived from the cached out-orientation so the upstream edge
+        # derivation (windows/joins over transcripts) runs exactly once.
+        self.edges_by_dst = self.edges_by_src.repartition(num_partitions, "dst")
+        if persist:
             self.edges_by_dst.persist(StorageLevel.MEMORY_AND_DISK)
 
         self._degrees: DataFrame | None = None
@@ -94,34 +97,29 @@ class Graph:
         the edge derivation produced. Algorithms that need isolated
         vertices pass an explicit vertices DF instead.
         """
-        if self._vertices is None:
-            v = (
-                self.edges_by_src.select(F.col("src").alias("id"))
-                .unionAll(self.edges_by_dst.select(F.col("dst").alias("id")))
-                .distinct()
-                .repartition(self.num_partitions, "id")
-            )
-            self._vertices = v.persist(StorageLevel.MEMORY_AND_DISK)
-        return self._vertices
+        return self.degrees.select("id")
 
     @property
     def degrees(self) -> DataFrame:
         """``(id, out_deg, in_deg)`` — drives the m/20 direction heuristic
-        (ligra.h:238) and PageRank's out-degree division."""
+        (ligra.h:238) and PageRank's out-degree division.
+
+        Built as out-counts ⟗ in-counts (one full-outer join of two
+        pre-aggregated tables) — cheaper than materializing a distinct
+        vertex union over 2m endpoint rows first."""
         if self._degrees is None:
             out_d = self.edges_by_src.groupBy(F.col("src").alias("id")).agg(
-                F.count(F.lit(1)).alias("out_deg")
+                F.count(F.lit(1)).alias("o")
             )
             in_d = self.edges_by_dst.groupBy(F.col("dst").alias("id")).agg(
-                F.count(F.lit(1)).alias("in_deg")
+                F.count(F.lit(1)).alias("i")
             )
             deg = (
-                self.vertices.join(out_d, "id", "left")
-                .join(in_d, "id", "left")
+                out_d.join(in_d, "id", "full_outer")
                 .select(
                     "id",
-                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.coalesce("o", F.lit(0)).alias("out_deg"),
+                    F.coalesce("i", F.lit(0)).alias("in_deg"),
                 )
                 .repartition(self.num_partitions, "id")
             )

@@ -117,7 +117,16 @@ def edge_map(
         if direction == "auto":
             if frontier_size is None:
                 frontier_size = frontier.count()
-            chosen = "broadcast" if frontier_size <= broadcast_rows else "shuffle"
+            # the m/20 rule (ligra.h:238) recast for Spark: broadcast
+            # (zero-shuffle) only when the frontier is small relative to
+            # the edge count — building a per-task hash relation over a
+            # huge frontier costs more than one bounded message shuffle
+            chosen = (
+                "broadcast"
+                if frontier_size <= broadcast_rows
+                and frontier_size * 20 <= graph.m
+                else "shuffle"
+            )
         else:
             chosen = direction
         if chosen == "broadcast":

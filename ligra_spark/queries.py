@@ -46,6 +46,7 @@ from ligra_spark.functions.dedup import (
 )
 from ligra_spark.functions.similarity import (
     cosine_topk,
+    cosine_topk_kernel,
     embedding_dup_pairs,
     lsh_bucket_topk,
 )
@@ -376,6 +377,18 @@ FROM r WHERE rnk <= 5
 """
 
 
+def q_ann_topk_kernel(spark, sf_dir):
+    """Same exact semantics as ann_topk, computed by the Arrow/numpy
+    matmul kernel — shares ann_topk's oracle, so the driver verifies the
+    kernel against DuckDB value-for-value."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(20)
+    res = cosine_topk_kernel(emb, queries, k=5)
+    return res.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
+    )
+
+
 def q_embedding_dups(spark, sf_dir):
     return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
 
@@ -423,6 +436,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_docs": q_simhash_docs,
     # embeddings: similarity search
     "ann_topk": q_ann_topk,
+    "ann_topk_kernel": q_ann_topk_kernel,
     "embedding_dups": q_embedding_dups,
     "lsh_topk": q_lsh_topk,
 }
@@ -443,6 +457,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_sig_docs": MINHASH_SIG_SQL,
     "minhash_lsh_docs": MINHASH_LSH_SQL,
     "ann_topk": ANN_TOPK_SQL,
+    "ann_topk_kernel": ANN_TOPK_SQL,
     "embedding_dups": EMBEDDING_DUPS_SQL,
     # pagerank_events, lp_events, kcore_types, simhash_docs, lsh_topk:
     # fixpoint / engine-hash-dependent / approximate → rows-only checks.

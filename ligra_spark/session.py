@@ -27,8 +27,17 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Deterministic timestamps in tests regardless of host TZ.
     "spark.sql.session.timeZone": "UTC",
+    # one BLAS/OMP thread per Python worker: Spark supplies the
+    # process-level parallelism; nested BLAS threads oversubscribe and
+    # corrupt scaling measurements
+    "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+    "spark.executorEnv.OMP_NUM_THREADS": "1",
+    "spark.executorEnv.MKL_NUM_THREADS": "1",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local mode runs executors inside the driver JVM: size the heap for
+    # (concurrent tasks × per-task working set); 8g starves 32 tasks
+    # into shuffle spills (measured: 32 cores slower than 8)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 

@@ -40,9 +40,30 @@ def rmat_edges(
 
 
 def rmat_graph_df(
-    spark: SparkSession, log_n: int, m: int, seed: int = 42
+    spark: SparkSession,
+    log_n: int,
+    m: int,
+    seed: int = 42,
+    distributed: bool | None = None,
 ) -> DataFrame:
-    e = rmat_edges(log_n, m, seed)
-    return spark.createDataFrame(
-        pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
-    )
+    """R-MAT edges DataFrame; generates distributed (``mapInPandas``
+    over edge-count ranges, per-partition seeded streams) above 2M
+    edges — the scale path for 10^8+-edge bench graphs."""
+    if distributed is None:
+        distributed = m > 2_000_000
+    if not distributed:
+        e = rmat_edges(log_n, m, seed)
+        return spark.createDataFrame(
+            pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+        )
+
+    parts = max(8, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+
+    def gen(batches):
+        for pdf in batches:
+            pids = pdf["id"].to_numpy()
+            count = len(pids)
+            e = rmat_edges(log_n, count, seed=seed + int(pids[0]))
+            yield pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+
+    return spark.range(0, m, 1, parts).mapInPandas(gen, "src long, dst long")

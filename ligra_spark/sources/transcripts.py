@@ -49,19 +49,15 @@ def _mix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
-def generate_transcripts(
-    spark: SparkSession, n_conv: int, seed: int = 42
-) -> DataFrame:
-    """Deterministic synthetic transcripts table (FIXTURES.md §1):
-    conversation length in [2, 40], alternating user/assistant roles,
-    ~25% of assistant turns invoke a tool and are followed by the
-    matching tool-role reply turn."""
-    rows_conv, rows_turn, rows_role, rows_tool = [], [], [], []
-    h_len = _mix64(np.arange(n_conv, dtype=np.uint64) + np.uint64(seed * 1_000_003))
+def _gen_conv_batch(ks: np.ndarray, seed: int) -> pd.DataFrame:
+    """Rows for a batch of conversation indices — the deterministic
+    per-conversation construction shared by the local and distributed
+    generators (identical output row sets)."""
+    h_len = _mix64(ks.astype(np.uint64) + np.uint64(seed * 1_000_003))
     lengths = 2 + (h_len % np.uint64(39)).astype(np.int64)
-    for k in range(n_conv):
+    rows_conv, rows_turn, rows_role, rows_tool = [], [], [], []
+    for k, L in zip(ks.tolist(), lengths.tolist()):
         conv = f"conv_{k:08d}"
-        L = int(lengths[k])
         idx = 0
         next_role = "user"
         pending_tool: str | None = None
@@ -76,7 +72,12 @@ def generate_transcripts(
                 if role == "user":
                     next_role = "assistant"
                 else:
-                    h = int(_mix64(np.uint64(seed) * np.uint64(0x9E37) + np.uint64(k * 4096 + idx)))
+                    h = int(
+                        _mix64(
+                            np.uint64(seed) * np.uint64(0x9E37)
+                            + np.uint64(k * 4096 + idx)
+                        )
+                    )
                     if h % 4 == 0 and idx + 1 < L:
                         tool = _TOOLS[h % len(_TOOLS)]
                         pending_tool = tool
@@ -86,7 +87,6 @@ def generate_transcripts(
             rows_role.append(role)
             rows_tool.append(tool)
             idx += 1
-    n = len(rows_conv)
     pdf = pd.DataFrame(
         {
             "conv_id": rows_conv,
@@ -98,10 +98,45 @@ def generate_transcripts(
     pdf["text"] = [
         f"turn text {c} {t} {r}" for c, t, r in zip(rows_conv, rows_turn, rows_role)
     ]
-    conv_num = pdf["conv_id"].str.slice(5).astype(np.int64)
-    pdf["ts"] = _EPOCH + pd.to_timedelta(conv_num * 1000 + pdf["turn_idx"], unit="s")
-    pdf = pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
-    return spark.createDataFrame(pdf)
+    conv_num = np.array([int(c[5:]) for c in rows_conv], dtype=np.int64)
+    pdf["ts"] = _EPOCH + pd.to_timedelta(
+        conv_num * 1000 + pdf["turn_idx"].to_numpy(np.int64), unit="s"
+    )
+    return pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]]
+
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def generate_transcripts(
+    spark: SparkSession, n_conv: int, seed: int = 42, distributed: bool | None = None
+) -> DataFrame:
+    """Deterministic synthetic transcripts table (FIXTURES.md §1):
+    conversation length in [2, 40], alternating user/assistant roles,
+    ~25% of assistant turns invoke a tool and are followed by the
+    matching tool-role reply turn.
+
+    Generation is driver-side for small tables and distributed
+    (``mapInPandas`` over conversation-index ranges) for large ones —
+    identical output either way; at 10^12-turn scale only the
+    distributed path exists, which is why the per-conversation
+    construction is partition-independent."""
+    if distributed is None:
+        distributed = n_conv > 50_000
+    if not distributed:
+        return spark.createDataFrame(
+            _gen_conv_batch(np.arange(n_conv, dtype=np.int64), seed)
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            yield _gen_conv_batch(pdf["id"].to_numpy(np.int64), seed)
+
+    parts = max(8, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    return spark.range(0, n_conv, 1, parts).mapInPandas(gen, TRANSCRIPT_SCHEMA)
 
 
 def vertex_ids(transcripts: DataFrame, mode: str = "hash") -> DataFrame:

@@ -1,0 +1,192 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — checked against plain-Python oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ligra_spark.functions.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from ligra_spark.functions.similarity import (
+    cosine_topk,
+    embedding_dup_pairs,
+    lsh_bucket_topk,
+)
+from ligra_spark.functions.text import lang_id, text_quality, token_count
+from ligra_spark.functions.multimodal import (
+    extract_features,
+    fake_decode,
+    real_decode_unavailable,
+    sample_frames,
+    synthetic_media,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "THE QUICK  brown fox jumps over the lazy dog"),  # dup of 1 after norm
+    (4, "completely different text about spark engines and shuffles"),
+    (5, "el gato y el perro en la casa de la abuela"),
+    (6, "short"),
+]
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_shingles(text, n=3):
+    toks = " ".join(text.lower().split()).split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_dedup_exact_normalizes(docs_df):
+    rows = {r["keeper_id"]: r["n_dups"] for r in dedup_exact(docs_df).collect()}
+    assert rows[1] == 2          # docs 1 and 3 collapse
+    assert 3 not in rows
+    assert rows[2] == 1
+
+
+def test_word_shingles_match_python(docs_df):
+    got = {}
+    for r in word_shingles(docs_df).collect():
+        got.setdefault(r["id"], set()).add(r["shingle"])
+    for doc_id, text in DOCS:
+        want = _py_shingles(text)
+        assert got.get(doc_id, set()) == want, doc_id
+
+
+def test_jaccard_pairs_exact(docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.1).collect()
+    }
+    s1, s2 = _py_shingles(DOCS[0][1]), _py_shingles(DOCS[1][1])
+    want_12 = len(s1 & s2) / len(s1 | s2)
+    assert abs(got[(1, 2)] - want_12) < 1e-9
+    assert got[(1, 3)] == 1.0    # exact dup after normalization
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs_df).collect()
+    }
+    assert (1, 3) in pairs       # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_similar_docs_close(docs_df):
+    h = {r["id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(h[1], h[3]) == 0          # identical after normalization
+    assert ham(h[1], h[2]) < ham(h[1], h[4])
+
+
+def test_token_count_and_quality(docs_df):
+    tc = {r["doc_id"]: r for r in token_count(docs_df).collect()}
+    assert tc[6]["n_tokens"] == 1
+    assert tc[1]["n_tokens"] == 9
+    q = {r["doc_id"]: r for r in text_quality(docs_df).collect()}
+    assert q[1]["stopword_ratio"] == round(2 / 9, 6)  # two 'the'
+
+
+def test_lang_id(docs_df):
+    lg = {r["doc_id"]: r["lang_guess"] for r in lang_id(docs_df).collect()}
+    assert lg[1] == "en"
+    assert lg[5] == "es"
+    assert lg[6] == "und"
+
+
+# ---- similarity ------------------------------------------------------------
+
+def _vec_df(spark, n=30, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def _py_topk(vecs, qid, k):
+    v = vecs.astype(np.float64)
+    q = v[qid]
+    sims = (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        (i for i in range(len(v)) if i != qid),
+        key=lambda i: (-sims[i], i),
+    )
+    return order[:k]
+
+
+def test_cosine_topk_exact(spark):
+    df, vecs = _vec_df(spark)
+    queries = df.where("vec_id < 3")
+    got = {}
+    for r in cosine_topk(df, queries, k=4).collect():
+        got.setdefault(r["query_id"], {})[r["rank"]] = r["neighbor_id"]
+    for qid in range(3):
+        want = _py_topk(vecs, qid, 4)
+        assert [got[qid][rk] for rk in sorted(got[qid])] == want
+
+
+def test_lsh_bucket_topk_schema_and_subset(spark):
+    df, vecs = _vec_df(spark)
+    res = lsh_bucket_topk(df, df.where("vec_id < 5"), k=3, planes=4, dim=8)
+    rows = res.collect()
+    assert res.columns == ["query_id", "rank", "neighbor_id"]
+    # LSH returns a (possibly partial) subset of true neighbors: every
+    # returned neighbor must at least share the query's bucket — weak
+    # check: no self-pairs, ranks contiguous from 1
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_embedding_dup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(df, 0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+# ---- multimodal plumbing ----------------------------------------------------
+
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 8 for r in feats)
+    assert by_id[0]["n_bytes"] == 96
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert again[5] == by_id[5]["feature"]
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synthetic_media(spark, n=12)
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert all(r["frame_ts_ms"] % 1000 == 0 for r in frames)
+    vids = media.where("kind = 'video'").collect()
+    per_vid = {v["media_id"]: (v["duration_ms"] + 999) // 1000 for v in vids}
+    got = {}
+    for r in frames:
+        got[r["media_id"]] = got.get(r["media_id"], 0) + 1
+    assert got == per_vid
+
+
+def test_real_decoder_is_honestly_stubbed(spark):
+    with pytest.raises(NotImplementedError):
+        real_decode_unavailable(b"bytes")
+    assert fake_decode(None).tolist() == [0.0] * 8
