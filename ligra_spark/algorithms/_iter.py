@@ -23,30 +23,78 @@ the private API moving.
 
 from __future__ import annotations
 
+import logging
 import time
+import warnings
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger("ligra_spark")
+_warned_fallback = False
+
+
+def _reset_stats(ck: DataFrame) -> DataFrame:
+    """Rebuild ``ck`` (a localCheckpoint result) over its RDD so the
+    Catalyst statistics reset to the session default instead of carrying
+    the original plan's (compounding) estimate. Falls back LOUDLY to the
+    plain checkpoint if the private JVM API moved — a silent fallback
+    here reintroduces the exponential BigInt-statistics blowup (see
+    module docstring), which round-1 benchmarking showed as a 10-60s/iter
+    driver stall."""
+    global _warned_fallback
+    try:
+        jdf = ck._jdf
+        jspark = ck.sparkSession._jsparkSession
+        fresh = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(fresh, ck.sparkSession)
+    except Exception as exc:  # pragma: no cover - depends on Spark build
+        if not _warned_fallback:
+            _warned_fallback = True
+            msg = (
+                "ligra_spark: internalCreateDataFrame unavailable "
+                f"({type(exc).__name__}: {exc}); iterative plans will carry "
+                "compounding Catalyst size statistics — expect degraded "
+                "driver-side planning on long loops"
+            )
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+            _log.warning(msg)
+        return ck
 
 
 def materialize(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
     """Eagerly compute ``df``, truncate lineage, reset plan statistics;
     release ``prev``'s checkpointed blocks (pass the previous
-    iteration's *materialized* state)."""
+    iteration's *materialized* state).
+
+    NOTE: never mix this with ``DataFrame.persist`` chains across
+    iterations — ``unpersist`` cascades in Spark (dropping dependent
+    cached plans), so unpersisting iteration k's plan-cached state
+    silently invalidates iteration k+1's cache and every subsequent
+    action recomputes the whole chain (the round-1 36x bench
+    regression). RDD-backed checkpoints are immune: downstream plans
+    reference the RDD, not a cached plan fragment."""
     ck = df.localCheckpoint(eager=True)
-    try:
-        jdf = ck._jdf
-        jspark = df.sparkSession._jsparkSession
-        fresh = jspark.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
-        out = DataFrame(fresh, df.sparkSession)
-    except Exception:
-        out = ck
+    out = _reset_stats(ck)
     out._ligra_ckpt = ck  # handle for unpersisting the real cached RDD
     if prev is not None:
         unpersist(prev)
     return out
+
+
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """Lineage truncation for *static* tables (no ``prev`` bookkeeping).
+
+    Catalyst re-analyzes the full logical plan of every query that
+    references a cached table — the cache short-circuits *execution*,
+    not *planning*. A graph built from a deep derivation (windows +
+    joins over transcripts) therefore taxes every iteration with
+    seconds of driver-side analysis (measured: 4.0s vs 0.9s per
+    PageRank iteration at sf0.1). Checkpointing the derived table once
+    makes all downstream plans shallow."""
+    return materialize(df)
 
 
 def unpersist(df: DataFrame) -> None:

@@ -27,9 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyspark.storagelevel import StorageLevel
-
-from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize, unpersist
+from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
 from ligra_spark.graph import Graph
 
 
@@ -40,7 +38,6 @@ def pagerank(
     max_iters: int = 100,
     metrics: IterMetrics | None = None,
     checkpointer=None,
-    ckpt_every: int = 4,
 ) -> DataFrame:
     """Returns ``(id LONG, rank DOUBLE)`` at convergence."""
     n = graph.n
@@ -78,17 +75,12 @@ def pagerank(
                 "rank_next"
             ),
         )
-        # lineage truncation (the driver-loop growth problem) only every
-        # few iterations; in between a cheap cache + the L1 action does
-        # the materialization — one fewer Spark job per iteration
-        is_ckpt = (it + 1) % ckpt_every == 0
-        if is_ckpt:
-            nxt = materialize(nxt, state)
-        else:
-            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+        # Materialize EVERY iteration. (A persist()-based fast path was
+        # tried and removed: DataFrame.unpersist cascades, dropping the
+        # dependent iteration's cache, so each round recomputed the whole
+        # chain back to the last checkpoint — the round-1 36x regression.)
+        nxt = materialize(nxt, state)
         l1 = nxt.agg(F.sum(F.abs(F.col("rank_next") - F.col("rank")))).first()[0]
-        if not is_ckpt:
-            unpersist(state)
         state = nxt.select("id", "out_deg", F.col("rank_next").alias("rank"))
         state._ligra_ckpt = getattr(nxt, "_ligra_ckpt", nxt)
         if metrics is not None:

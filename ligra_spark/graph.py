@@ -50,6 +50,7 @@ class Graph:
         dedupe: bool = False,
         num_partitions: int | None = None,
         persist: bool = True,
+        truncate: bool | str = "auto",
     ) -> None:
         self.spark: SparkSession = edges.sparkSession
         self.weighted = "w" in edges.columns
@@ -70,6 +71,25 @@ class Graph:
                 self.spark.conf.get("spark.sql.shuffle.partitions", "32")
             )
         self.num_partitions = num_partitions
+
+        # Load-time lineage truncation (the analog of the reference
+        # building its CSR once at load, IO.h:163-316): Catalyst
+        # re-analyzes the *full* logical plan of every query touching a
+        # cached table — caching short-circuits execution, not planning.
+        # A deep edge derivation (windows + joins over transcripts) taxes
+        # every edgeMap iteration with seconds of driver-side analysis;
+        # checkpointing once makes all iteration plans shallow. The
+        # truncation happens BEFORE the repartition so the persisted
+        # orientations keep their hash-partitioning metadata.
+        self._edges_ckpt: DataFrame | None = None
+        if truncate == "auto":
+            plan_lines = edges._jdf.queryExecution().analyzed().toString().count("\n")
+            truncate = persist and plan_lines > 24
+        if truncate:
+            from ligra_spark.algorithms._iter import truncate_plan
+
+            edges = truncate_plan(edges)
+            self._edges_ckpt = edges
 
         # Out-CSR analog: partitioned by src so state⋈edges is local.
         self.edges_by_src = edges.repartition(num_partitions, "src").select(cols)
@@ -161,6 +181,7 @@ class Graph:
         orientations are already materialized, so just swap roles."""
         g = object.__new__(Graph)
         g.spark = self.spark
+        g._edges_ckpt = None
         g.weighted = self.weighted
         g.symmetric = self.symmetric
         g.num_partitions = self.num_partitions
@@ -192,6 +213,10 @@ class Graph:
         )
 
     def unpersist(self) -> None:
+        from ligra_spark.algorithms._iter import unpersist as _unp
+
         for df in (self.edges_by_src, self.edges_by_dst, self._degrees, self._vertices):
             if df is not None:
                 df.unpersist()
+        if self._edges_ckpt is not None:
+            _unp(self._edges_ckpt)

@@ -125,7 +125,9 @@ def generate_transcripts(
     distributed path exists, which is why the per-conversation
     construction is partition-independent."""
     if distributed is None:
-        distributed = n_conv > 50_000
+        # the per-turn generation loop is pure Python — distribute it as
+        # soon as it stops being trivial (bench sizes run 32-wide)
+        distributed = n_conv > 2_000
     if not distributed:
         return spark.createDataFrame(
             _gen_conv_batch(np.arange(n_conv, dtype=np.int64), seed)
