@@ -30,13 +30,20 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ligra_spark.algorithms import (
+    bellman_ford,
+    betweenness_from_source,
     bfs,
     connected_components,
     kcore,
     label_propagation,
+    maximal_independent_set,
     pagerank,
+    pagerank_delta,
+    radii,
     triangle_count,
+    triangles_per_vertex,
 )
+from ligra_spark.csr import pagerank_csr
 from ligra_spark.functions.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
@@ -60,8 +67,10 @@ from ligra_spark.graph import Graph
 from ligra_spark.sources.events import (
     EDGES_FROM_EVENTS_SQL,
     EVENT_TYPE_GRAPH_SQL,
+    MOD_GRAPH_SQL,
     edges_from_events,
     event_type_graph,
+    mod_graph_edges,
 )
 
 # --------------------------------------------------------------------------
@@ -191,6 +200,174 @@ def q_kcore_types(spark, sf_dir):
 def q_pagerank_events(spark, sf_dir):
     g = _events_graph(spark, sf_dir)
     return pagerank(g, max_iters=15).select(
+        "id", F.round("rank", 9).alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# graph queries over the mod-graph fixture (events chains folded onto 64
+# residue-class vertices, deterministically thinned — see mod_graph_edges).
+# These give the traversal apps (BC.C, BellmanFord.C, Radii.C, MIS.C,
+# Triangle.C per-vertex) hard DuckDB oracles over nontrivial structure.
+# --------------------------------------------------------------------------
+
+def _mod_graph(spark, sf_dir, weighted=False):
+    edges = mod_graph_edges(_events(spark, sf_dir))
+    if weighted:
+        edges = edges.withColumn(
+            "w", ((F.col("src") + 2 * F.col("dst")) % 9 + 1).cast("double")
+        )
+    return Graph(edges, num_partitions=4)
+
+
+def q_bc_mod(spark, sf_dir):
+    """Brandes single-source betweenness (BC.C:28-113 analog): forward
+    level-synchronous sigma counting + backward dependency accumulation,
+    verified against a DuckDB shortest-path-enumeration oracle."""
+    g = _mod_graph(spark, sf_dir)
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return betweenness_from_source(g, root).select(
+        "id", "paths", F.round("dep", 6).alias("dep")
+    )
+
+
+BC_MOD_SQL = f"""
+WITH RECURSIVE e AS ({MOD_GRAPH_SQL}),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+root AS (SELECT MIN(id) AS id FROM v),
+p(id, dist, path) AS (
+  SELECT id, 0, [id] FROM root
+  UNION ALL
+  SELECT e.dst, p.dist + 1, list_append(p.path, e.dst)
+  FROM p JOIN e ON e.src = p.id
+  WHERE p.dist < 10 AND NOT list_contains(p.path, e.dst)
+),
+mind AS (SELECT id, MIN(dist) AS d FROM p GROUP BY id),
+sp AS (SELECT p.id, p.path FROM p JOIN mind ON p.id = mind.id AND p.dist = mind.d),
+sigma AS (SELECT id, COUNT(*) AS s FROM sp GROUP BY id),
+inner_v AS (
+  -- non-endpoint vertices of each shortest path, INCLUDING the source:
+  -- the reference applies the Brandes accumulation to the root as well
+  -- (BC.C:128-138 + final rescale at BC.C:143-145), so dep(root) equals
+  -- the number of reachable targets.
+  SELECT unnest(sp.path[1:len(sp.path)-1]) AS vid, 1.0 / sigma.s AS c
+  FROM sp JOIN sigma ON sp.id = sigma.id WHERE len(sp.path) > 1)
+SELECT mind.id AS id, CAST(sigma.s AS DOUBLE) AS paths,
+       ROUND(COALESCE(SUM(iv.c), 0), 6) AS dep
+FROM mind JOIN sigma ON mind.id = sigma.id
+LEFT JOIN inner_v iv ON iv.vid = mind.id
+GROUP BY mind.id, sigma.s
+"""
+
+
+def q_bellman_ford_mod(spark, sf_dir):
+    """Weighted SSSP (BellmanFord.C:10-99 analog), w = (src+2*dst)%9+1,
+    vs a DuckDB recursive-relaxation oracle."""
+    g = _mod_graph(spark, sf_dir, weighted=True)
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return bellman_ford(g, root)
+
+
+BF_MOD_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT src, dst, CAST((src + 2 * dst) % 9 + 1 AS DOUBLE) AS w
+  FROM ({MOD_GRAPH_SQL})),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+root AS (SELECT MIN(id) AS id FROM v),
+r(id, dist) AS (
+  SELECT id, CAST(0 AS DOUBLE) FROM root
+  UNION
+  SELECT e.dst, r.dist + e.w FROM r JOIN e ON e.src = r.id WHERE r.dist < 80
+)
+SELECT id, MIN(dist) AS dist FROM r GROUP BY id
+"""
+
+
+def q_mis_mod(spark, sf_dir):
+    """Deterministic id-priority MIS (MIS.C:38-70 analog). The parallel
+    priority fixpoint equals the lexicographically-first MIS, which the
+    oracle computes by sequential greedy over ascending ids."""
+    return maximal_independent_set(_mod_graph(spark, sf_dir))
+
+
+MIS_MOD_SQL = f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+vl AS (SELECT list(id ORDER BY id) AS ids, COUNT(*) AS n FROM v),
+nb AS (SELECT src AS id, list(dst) AS ns FROM e GROUP BY src),
+g(i, mis) AS (
+  SELECT 0, CAST([] AS BIGINT[]) FROM vl
+  UNION ALL
+  SELECT g.i + 1,
+         CASE WHEN len(list_intersect(nb.ns, g.mis)) = 0
+              THEN list_append(g.mis, vl.ids[g.i + 1])
+              ELSE g.mis END
+  FROM g, vl, nb
+  WHERE g.i < vl.n AND nb.id = vl.ids[g.i + 1]
+),
+final AS (SELECT mis FROM g, vl WHERE g.i = vl.n)
+SELECT v.id AS id, list_contains(final.mis, v.id) AS in_set FROM v, final
+"""
+
+
+def q_radii_mod(spark, sf_dir):
+    """k-BFS radii with 64-bit visitor masks (Radii.C analog). k=64 >= n
+    makes every vertex a source, so the estimate is the exact
+    eccentricity and the all-pairs-BFS oracle applies."""
+    return radii(_mod_graph(spark, sf_dir), k=64)
+
+
+RADII_MOD_SQL = f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+r(s, id, dist) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT r.s, e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.id WHERE r.dist < 64
+),
+d AS (SELECT s, id, MIN(dist) AS dd FROM r GROUP BY 1, 2)
+SELECT id, CAST(MAX(dd) AS INT) AS radius FROM d GROUP BY id
+"""
+
+
+def q_tri_vertex_mod(spark, sf_dir):
+    """Per-vertex incident triangle counts (Triangle.C per-vertex form)
+    on the symmetrized mod-graph."""
+    return triangles_per_vertex(_mod_graph(spark, sf_dir))
+
+
+TRI_VERTEX_MOD_SQL = f"""
+WITH base AS ({MOD_GRAPH_SQL}),
+u AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst FROM base GROUP BY 1, 2),
+tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM u ab JOIN u bc ON ab.dst = bc.src
+  JOIN u ac ON ac.src = ab.src AND ac.dst = bc.dst),
+corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+v AS (SELECT DISTINCT src AS id FROM (SELECT src, dst FROM base UNION SELECT dst, src FROM base))
+SELECT v.id AS id, COALESCE(cnt.c, 0) AS triangles
+FROM v LEFT JOIN (SELECT id, COUNT(*) AS c FROM corners GROUP BY id) cnt ON v.id = cnt.id
+"""
+
+
+def q_pagerank_delta_iter1_events(spark, sf_dir):
+    """One PageRankDelta round == one plain power-iteration round (the
+    PageRankDelta.C:47-85 first-round special case), so it shares the
+    closed-form iter-1 oracle."""
+    g = _events_graph(spark, sf_dir)
+    return pagerank_delta(g, max_iters=1).select(
+        "id", F.round("rank", 9).alias("rank")
+    )
+
+
+def q_pagerank_csr_iter1_events(spark, sf_dir):
+    """One round through the Arrow CSR SpMV kernel (partition-local
+    gather-scatter) — verifies the dense-pull substrate value-for-value
+    against the same DuckDB closed form as the join plan."""
+    g = _events_graph(spark, sf_dir)
+    return pagerank_csr(g, max_iters=1).select(
         "id", F.round("rank", 9).alias("rank")
     )
 
@@ -424,6 +601,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_types": q_bfs_types,
     "lp_events": q_lp_events,
     "kcore_types": q_kcore_types,
+    # traversal apps over the mod-graph fixture
+    "bc_mod": q_bc_mod,
+    "bellman_ford_mod": q_bellman_ford_mod,
+    "mis_mod": q_mis_mod,
+    "radii_mod": q_radii_mod,
+    "tri_vertex_mod": q_tri_vertex_mod,
+    "pagerank_delta_iter1_events": q_pagerank_delta_iter1_events,
+    "pagerank_csr_iter1_events": q_pagerank_csr_iter1_events,
     # documents: text analysis + dedup
     "dedup_exact_docs": q_dedup_exact_docs,
     "fingerprint_docs": q_fingerprint_docs,
@@ -448,6 +633,13 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank_iter1_events": PAGERANK_ITER1_SQL,
     "triangles_types": TRIANGLES_TYPES_SQL,
     "bfs_types": BFS_TYPES_SQL,
+    "bc_mod": BC_MOD_SQL,
+    "bellman_ford_mod": BF_MOD_SQL,
+    "mis_mod": MIS_MOD_SQL,
+    "radii_mod": RADII_MOD_SQL,
+    "tri_vertex_mod": TRI_VERTEX_MOD_SQL,
+    "pagerank_delta_iter1_events": PAGERANK_ITER1_SQL,
+    "pagerank_csr_iter1_events": PAGERANK_ITER1_SQL,
     "dedup_exact_docs": DEDUP_EXACT_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "token_count_docs": TOKEN_COUNT_SQL,

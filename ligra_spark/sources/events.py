@@ -46,6 +46,37 @@ SELECT src, dst FROM (
 """
 
 
+def mod_graph_edges(events: DataFrame, m: int = 64, keep: int = 5) -> DataFrame:
+    """``(src, dst)``: event-chain links folded onto ``m`` residue-class
+    vertices, deterministically thinned to ~``keep/101`` of the possible
+    pairs. Produces a small sparse digraph with nontrivial distance /
+    path / triangle structure (unlike the per-user chains, which are
+    paths, or the type graph, which is a clique) — the fixture graph for
+    the BC / Bellman-Ford / Radii / MIS driver oracles. Every expression
+    is engine-portable integer arithmetic, so DuckDB derives the
+    identical graph."""
+    links = edges_from_events(events).select(
+        (F.col("src") % m).alias("src"), (F.col("dst") % m).alias("dst")
+    )
+    return (
+        links.where(
+            (F.col("src") != F.col("dst"))
+            & ((F.col("src") * 31 + F.col("dst")) % 101 < keep)
+        )
+        .distinct()
+    )
+
+
+MOD_GRAPH_SQL = """
+  SELECT DISTINCT a % 64 AS src, b % 64 AS dst
+  FROM (SELECT event_id AS a,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+        FROM events) l
+  WHERE b IS NOT NULL AND a % 64 <> b % 64
+    AND ((a % 64) * 31 + (b % 64)) % 101 < 5
+"""
+
+
 def event_type_graph(events: DataFrame) -> DataFrame:
     """``(src, dst)`` with src < dst: distinct event-type pairs
     co-occurring for at least one user; type id = min(event_id) of the
