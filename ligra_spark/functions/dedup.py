@@ -73,11 +73,29 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ``(id_a, id_b, jaccard)``
     with id_a < id_b and J ≥ threshold, via the inverted shingle
-    index."""
+    index.
+
+    ``df_cap`` is the scale guard: shingles occurring in more than
+    ``df_cap`` documents are dropped from the index *and* from the
+    per-doc sizes (so the Jaccard stays consistent over the reduced
+    shingle space). Without it, one boilerplate shingle shared by 10^6
+    docs creates 10^12 join rows — the posting-list blowup. At 100 TB
+    run with a cap (or on MinHash-LSH candidates only, see
+    ``minhash_lsh_jaccard``); cap-free mode exists for oracle checks
+    and small corpora."""
     sh = word_shingles(df, id_col, text_col, n)
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -86,17 +104,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    jac = F.col("c") / (F.col("sa") + F.col("sb") - F.col("c"))
     return (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")), 6
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        # filter on the UNROUNDED ratio (the rounded value is output
+        # only), matching the SQL oracle's semantics exactly
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
@@ -140,7 +155,20 @@ def minhash_lsh_pairs(
     band_sig = (
         sig.withColumn("band", F.floor(F.col("slot") / rows_per_band).cast("int"))
         .groupBy("id", "band")
-        .agg(F.concat_ws("|", F.array_sort(F.collect_list("mh"))).alias("bsig"))
+        # slot-ORDERED band signature (standard banded LSH): sorting the
+        # struct array by slot then projecting mh preserves slot order —
+        # collect_list alone is nondeterministic, and sorting by mh value
+        # would make two docs with the same minhashes in different slots
+        # spuriously collide
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("slot", "mh"))),
+                    lambda s: s.mh,
+                ),
+            ).alias("bsig")
+        )
     )
     a, b = band_sig.alias("a"), band_sig.alias("b")
     return (
@@ -151,17 +179,55 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+def minhash_lsh_jaccard(
+    df: DataFrame,
+    threshold: float = 0.2,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
 ) -> DataFrame:
-    """``(id, simhash LONG)`` — per-token 64-bit hash bit votes.
+    """The composed scale-path dedup: MinHash-LSH candidate pairs →
+    exact Jaccard verify ≥ threshold. The expensive shingle self-join
+    runs only on LSH candidates (semi-joined both ways), so the cost is
+    O(candidates), never O(df²) per hot shingle."""
+    cand = minhash_lsh_pairs(df, k, bands, n, id_col, text_col)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .unionAll(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+    scores = ngram_jaccard_pairs(
+        df.join(cand_ids, id_col, "left_semi"),
+        threshold=threshold,
+        n=n,
+        id_col=id_col,
+        text_col=text_col,
+        df_cap=df_cap,
+    )
+    return cand.join(scores, ["id_a", "id_b"])
 
-    Pure DataFrame: explode tokens, hash with xxhash64, per-bit majority
-    vote via sum of ±1, reassemble the fingerprint with bit ops.
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """``(id, simhash LONG)`` — per-token hash bit votes (60-bit
+    fingerprint by default).
+
+    Pure DataFrame: explode tokens, hash via the first 15 hex chars of
+    md5 (engine-portable — DuckDB derives the identical fingerprint, so
+    the driver value-hash check covers this; 15 hex = 60 bits keeps the
+    value inside a signed int64), per-bit majority vote via sum of ±1,
+    reassemble the fingerprint with bit ops.
     """
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(F.split(_norm_text(text_col), " ")).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
     )
     bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
     votes = (
@@ -182,4 +248,56 @@ def simhash(
                 F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 5,
+    bands: int = 6,
+    bits: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs ``(id_a, id_b, hamming)`` with
+    ``hamming(simhash_a, simhash_b) <= max_hamming``, id_a < id_b.
+
+    Banded Hamming join: split the fingerprint into ``bands`` equal bit
+    ranges; two fingerprints within Hamming distance d share at least
+    one band verbatim whenever ``bands > d`` (pigeonhole), so the
+    band-bucket equi-join is a COMPLETE candidate generator — exact
+    results, never all-pairs. Candidates are then verified with
+    ``bit_count(xor)``. At 10^9 docs each band key is ~bits/bands
+    random bits; hot buckets only arise from true duplicate clusters,
+    which the verify step bounds."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for a "
+            "complete banded Hamming join"
+        )
+    width = bits // bands
+    sh = simhash(df, id_col, text_col, bits).select("id", "simhash")
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    keys = sh.select("id", "simhash", band).select(
+        "id",
+        "simhash",
+        "band",
+        F.expr(
+            f"shiftright(simhash, band * {width}) & "
+            f"{(1 << width) - 1}"
+        ).alias("bkey"),
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -208,19 +208,67 @@ def cosine_topk_kernel(
     )
 
 
+def _table_bucket(vec: Column, dim: int, planes: int, table: int) -> Column:
+    """planes-bit sign-LSH bucket for hash table ``table`` (hyperplanes
+    drawn from the deterministic stream, offset per table)."""
+    out = F.lit(0)
+    for p in range(planes):
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, table * planes + p)])
+        out = out + F.when(_dot(vec, hp) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return out
+
+
 def embedding_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: int = 4,
+    tables: int = 4,
+    dim: int | None = None,
+    method: str = "lsh",
 ) -> DataFrame:
     """Near-duplicate pairs ``(id_a, id_b)`` with cosine ≥ threshold,
-    id_a < id_b. Brute-force O(n²) exact form (oracle-checkable); at
-    scale run it per-LSH-bucket instead."""
+    id_a < id_b.
+
+    ``method='lsh'`` (the scale path, default): sign-LSH bucketing with
+    ``tables`` independent hash tables of ``planes`` hyperplanes each;
+    candidates = vectors sharing a bucket in ANY table, then exact
+    cosine rescoring within candidates only. Recall < 1 by construction
+    (tune planes/tables per threshold: P[pair survives] =
+    1-(1-(1-θ/π)^planes)^tables).
+
+    ``method='exact'``: the brute-force O(n²) theta-join — oracle mode
+    for small corpora ONLY; at 10^9 vectors it is the textbook
+    scale-killer."""
     a = corpus.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    if method == "exact":
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        tb = F.explode(F.sequence(F.lit(0), F.lit(tables - 1))).alias("t")
+        keyed = corpus.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"), tb)
+        buck = F.lit(None).cast("int")
+        for t in range(tables):
+            buck = F.when(F.col("t") == t, _table_bucket(F.col("v"), dim, planes, t)).otherwise(buck)
+        keyed = keyed.select("id", "v", "t", buck.alias("bucket"))
+        ka, kb = keyed.alias("ka"), keyed.alias("kb")
+        cand = (
+            ka.join(kb, ["t", "bucket"])
+            .where(F.col("ka.id") < F.col("kb.id"))
+            .select(
+                F.col("ka.id").alias("id_a"),
+                F.col("kb.id").alias("id_b"),
+                F.col("ka.v").alias("va"),
+                F.col("kb.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
+        cand.where(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )

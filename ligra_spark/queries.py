@@ -46,10 +46,12 @@ from ligra_spark.algorithms import (
 from ligra_spark.csr import pagerank_csr
 from ligra_spark.functions.dedup import (
     dedup_exact,
+    minhash_lsh_jaccard,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_dup_pairs,
 )
 from ligra_spark.functions.similarity import (
     cosine_topk,
@@ -506,7 +508,7 @@ def q_minhash_lsh_docs(spark, sf_dir):
     return minhash_lsh_pairs(_docs(spark, sf_dir), k=16, bands=4)
 
 
-MINHASH_LSH_SQL = f"""
+_MINHASH_BANDS_SQL = f"""
 WITH {_SHINGLES_SQL},
 hashes AS (
   SELECT sh.id, s.slot, md5(CAST(s.slot AS VARCHAR) || ':' || sh.shingle) AS h
@@ -514,15 +516,75 @@ hashes AS (
 sig AS (SELECT id, slot, MIN(h) AS mh FROM hashes GROUP BY 1, 2),
 bsig AS (
   SELECT id, CAST(slot // 4 AS INT) AS band,
-         string_agg(mh, '|' ORDER BY mh) AS bs
-  FROM sig GROUP BY 1, 2)
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bsig a JOIN bsig b ON a.band = b.band AND a.bs = b.bs AND a.id < b.id
+         string_agg(mh, '|' ORDER BY slot) AS bs
+  FROM sig GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bsig a JOIN bsig b ON a.band = b.band AND a.bs = b.bs AND a.id < b.id)
+"""
+
+MINHASH_LSH_SQL = _MINHASH_BANDS_SQL + "SELECT id_a, id_b FROM cand"
+
+
+def q_lsh_jaccard_docs(spark, sf_dir):
+    """Composed scale-path dedup: MinHash-LSH candidates → exact Jaccard
+    verify (the shingle self-join never runs outside the candidate
+    set)."""
+    return minhash_lsh_jaccard(_docs(spark, sf_dir), threshold=0.2, k=16, bands=4)
+
+
+LSH_JACCARD_SQL = _MINHASH_BANDS_SQL + """,
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT cand.id_a, cand.id_b,
+       ROUND(c / CAST(sa.sz + sb.sz - c AS DOUBLE), 6) AS jaccard
+FROM cand JOIN common ON cand.id_a = common.id_a AND cand.id_b = common.id_b
+JOIN sizes sa ON sa.id = cand.id_a
+JOIN sizes sb ON sb.id = cand.id_b
+WHERE c / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
 """
 
 
 def q_simhash_docs(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
+
+
+_SIMHASH_SIG_SQL = """
+WITH t AS (SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+v AS (SELECT doc_id, bit,
+             SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS bit) bits
+      GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id AS id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM v GROUP BY doc_id)
+"""
+
+SIMHASH_SQL = _SIMHASH_SIG_SQL + "SELECT id, simhash FROM sig"
+
+
+def q_simhash_pairs_docs(spark, sf_dir):
+    """SimHash near-dup pairs via the complete banded Hamming join
+    (6 bands of 10 bits ⊃ all pairs at Hamming ≤ 5), verified against a
+    brute-force bit_count oracle."""
+    return simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=5, bands=6)
+
+
+SIMHASH_PAIRS_SQL = _SIMHASH_SIG_SQL + """
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -567,14 +629,53 @@ def q_ann_topk_kernel(spark, sf_dir):
 
 
 def q_embedding_dups(spark, sf_dir):
-    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.9)
+    """Embedding-cosine near-dup pairs via the sign-LSH bucketed scale
+    path (4 tables × 4 hyperplanes, exact cosine rescoring within
+    buckets only — never the all-pairs theta-join). The oracle replays
+    the identical bucketing (hyperplane constants inlined into the SQL),
+    so the driver verifies candidate generation AND rescoring
+    value-for-value. Threshold 0.4 makes the check non-vacuous on the
+    testdata embeddings (~30 surviving pairs at sf0.01)."""
+    return embedding_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, planes=4, tables=4, method="lsh"
+    )
 
 
-EMBEDDING_DUPS_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+def _embedding_dups_lsh_sql(
+    threshold: float = 0.4, planes: int = 4, tables: int = 4, dim: int = 64
+) -> str:
+    from ligra_spark.functions.similarity import _hyperplane
+
+    table_selects = []
+    for t in range(tables):
+        bits = []
+        for p in range(planes):
+            arr = "[" + ", ".join(repr(v) for v in _hyperplane(dim, t * planes + p)) + "]"
+            bits.append(
+                f"(CASE WHEN list_inner_product(ev, {arr}) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        table_selects.append(
+            f"SELECT {t} AS t, vec_id AS id, ev, "
+            + " + ".join(bits)
+            + " AS bucket FROM e"
+        )
+    buckets = "\nUNION ALL\n".join(table_selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+kb AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM kb a JOIN kb b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+SELECT id_a, id_b
+FROM cand
+JOIN e ea ON ea.vec_id = cand.id_a
+JOIN e eb ON eb.vec_id = cand.id_b
+WHERE list_cosine_similarity(ea.ev, eb.ev) >= {threshold}
 """
+
+
+EMBEDDING_DUPS_SQL = _embedding_dups_lsh_sql()
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -618,7 +719,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jaccard_pairs_docs": q_jaccard_pairs_docs,
     "minhash_sig_docs": q_minhash_sig_docs,
     "minhash_lsh_docs": q_minhash_lsh_docs,
+    "lsh_jaccard_docs": q_lsh_jaccard_docs,
     "simhash_docs": q_simhash_docs,
+    "simhash_pairs_docs": q_simhash_pairs_docs,
     # embeddings: similarity search
     "ann_topk": q_ann_topk,
     "ann_topk_kernel": q_ann_topk_kernel,
@@ -648,9 +751,12 @@ ORACLE_SQL: dict[str, str] = {
     "jaccard_pairs_docs": JACCARD_PAIRS_SQL,
     "minhash_sig_docs": MINHASH_SIG_SQL,
     "minhash_lsh_docs": MINHASH_LSH_SQL,
+    "lsh_jaccard_docs": LSH_JACCARD_SQL,
+    "simhash_docs": SIMHASH_SQL,
+    "simhash_pairs_docs": SIMHASH_PAIRS_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
     "embedding_dups": EMBEDDING_DUPS_SQL,
-    # pagerank_events, lp_events, kcore_types, simhash_docs, lsh_topk:
-    # fixpoint / engine-hash-dependent / approximate → rows-only checks.
+    # pagerank_events, lp_events, kcore_types, lsh_topk: fixpoint /
+    # recall-dependent top-k → rows-only checks.
 }

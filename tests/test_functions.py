@@ -190,3 +190,103 @@ def test_real_decoder_is_honestly_stubbed(spark):
     with pytest.raises(NotImplementedError):
         real_decode_unavailable(b"bytes")
     assert fake_decode(None).tolist() == [0.0] * 8
+
+
+# ---------------------------------------------------------------------------
+# round-2 scale-path fixes
+# ---------------------------------------------------------------------------
+
+def test_jaccard_df_cap_drops_hot_shingle(spark):
+    """A boilerplate shingle shared by every doc (the O(df^2)
+    posting-list blowup) is excluded from the capped index; pairs that
+    were only connected through it disappear, genuinely-similar pairs
+    survive."""
+    boiler = "copyright footer text"
+    docs = [
+        (i, f"unique words number {i} alpha beta gamma " + boiler)
+        for i in range(1, 9)
+    ]
+    docs.append((100, "the quick brown fox jumps over the lazy dog"))
+    docs.append((101, "the quick brown fox jumps over the lazy cat"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.05)
+    capped = ngram_jaccard_pairs(df, threshold=0.05, df_cap=4)
+    unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the boilerplate-only pairs exist uncapped, vanish capped
+    assert (1, 2) in unc and (1, 2) not in cap
+    # the real near-dup pair survives both
+    assert (100, 101) in unc and (100, 101) in cap
+
+
+def test_lsh_band_signature_is_slot_ordered(spark):
+    """Two docs whose band minhashes are permutations of each other
+    (same values, different slots) must NOT collide — regression test
+    for the array_sort(collect_list(mh)) bug."""
+    from pyspark.sql import functions as F
+    from ligra_spark.functions import dedup as dd
+
+    sig = spark.createDataFrame(
+        [(1, 0, "aa"), (1, 1, "bb"), (2, 0, "bb"), (2, 1, "aa")],
+        "id long, slot int, mh string",
+    )
+    band_sig = (
+        sig.withColumn("band", F.lit(0))
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("slot", "mh"))),
+                    lambda s: s.mh,
+                ),
+            ).alias("bsig")
+        )
+    )
+    rows = {r["id"]: r["bsig"] for r in band_sig.collect()}
+    assert rows[1] == "aa|bb" and rows[2] == "bb|aa"
+
+
+def test_simhash_pairs_banded_equals_bruteforce(docs_df):
+    """The banded Hamming join is complete for d < bands: its output
+    equals brute-force bit_count over all pairs."""
+    from ligra_spark.functions.dedup import simhash_dup_pairs
+
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_dup_pairs(docs_df, max_hamming=20, bands=21).collect()
+    }
+    sh = {r["id"]: r["simhash"] for r in simhash(docs_df).collect()}
+    ids = sorted(sh)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sh[a] ^ sh[b]).count("1")
+            if h <= 20:
+                want[(a, b)] = h
+    assert got == want
+    assert len(want) > 0  # non-vacuous: docs 1/2/3 are near-dups
+
+
+def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
+    """LSH-bucketed near-dup pairs are a subset of the exact pairs, and
+    planted duplicates (cosine ~1) are always found (they share every
+    bucket)."""
+    rng = np.random.default_rng(7)
+    vecs = [(i, rng.normal(size=16).astype(float).tolist()) for i in range(40)]
+    # plant a near-exact duplicate of vector 0
+    dup = [v + rng.normal(scale=1e-3) for v in vecs[0][1]]
+    vecs.append((99, dup))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(df, threshold=0.8, method="exact").collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            df, threshold=0.8, planes=4, tables=4, method="lsh"
+        ).collect()
+    }
+    assert lsh <= exact
+    assert (0, 99) in lsh
