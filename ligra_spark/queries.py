@@ -285,6 +285,27 @@ SELECT id, MIN(dist) AS dist FROM r GROUP BY id
 """
 
 
+def q_sssp_delta_mod(spark, sf_dir):
+    """Delta-stepping SSSP over Julienne-style buckets
+    (apps/bucketing/DeltaStepping.C) — same graph/weights/source as
+    bellman_ford_mod, so it shares the recursive-relaxation oracle;
+    agreement verifies the bucket scheduler end-to-end."""
+    from ligra_spark.operators.buckets import delta_stepping
+
+    g = _mod_graph(spark, sf_dir, weighted=True)
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return delta_stepping(g, root, delta=3.0)
+
+
+def q_kcore_bucketed_types(spark, sf_dir):
+    """Work-efficient bucketed k-core (apps/bucketing/KCore.C) on the
+    type graph — rows-only driver check; pytest asserts equality with
+    the naive peel on richer graphs."""
+    from ligra_spark.operators.buckets import kcore_bucketed
+
+    return kcore_bucketed(_types_graph(spark, sf_dir))
+
+
 def q_mis_mod(spark, sf_dir):
     """Deterministic id-priority MIS (MIS.C:38-70 analog). The parallel
     priority fixpoint equals the lexicographically-first MIS, which the
@@ -705,6 +726,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # traversal apps over the mod-graph fixture
     "bc_mod": q_bc_mod,
     "bellman_ford_mod": q_bellman_ford_mod,
+    "sssp_delta_mod": q_sssp_delta_mod,
+    "kcore_bucketed_types": q_kcore_bucketed_types,
     "mis_mod": q_mis_mod,
     "radii_mod": q_radii_mod,
     "tri_vertex_mod": q_tri_vertex_mod,
@@ -738,6 +761,7 @@ ORACLE_SQL: dict[str, str] = {
     "bfs_types": BFS_TYPES_SQL,
     "bc_mod": BC_MOD_SQL,
     "bellman_ford_mod": BF_MOD_SQL,
+    "sssp_delta_mod": BF_MOD_SQL,
     "mis_mod": MIS_MOD_SQL,
     "radii_mod": RADII_MOD_SQL,
     "tri_vertex_mod": TRI_VERTEX_MOD_SQL,
