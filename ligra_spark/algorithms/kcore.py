@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize, unpersist
 from ligra_spark.graph import Graph
-from ligra_spark.operators.edge_map import edge_map
+from ligra_spark.operators.edge_map import edge_map_count
+from ligra_spark.operators.vertex_ops import vertex_filter
 
 
 def kcore(
@@ -42,24 +43,23 @@ def kcore(
     while remaining > 0 and (max_k is None or k <= max_k):
         # peel everything with deg < k until none remain at this k
         while True:
-            peel = state.where(F.col("alive") & (F.col("deg") < k)).select("id")
+            peel = vertex_filter(
+                state, F.col("alive") & (F.col("deg") < k)
+            ).select("id")
             peel = materialize(peel)
             n_peel = peel.count()
             if n_peel == 0:
                 unpersist(peel)
                 break
             remaining -= n_peel
-            decr = edge_map(
-                g, peel, message=F.lit(1).cast("long"), combiner="sum",
-                frontier_size=n_peel,
-            )
+            decr = edge_map_count(g, peel, by="dst")
             nxt = (
                 state.join(peel.select(F.col("id"), F.lit(True).alias("_p")), "id", "left")
                 .join(decr, "id", "left")
                 .select(
                     "id",
                     F.when(F.col("_p").isNotNull(), F.lit(0).cast("long"))
-                    .otherwise(F.col("deg") - F.coalesce("msg", F.lit(0)))
+                    .otherwise(F.col("deg") - F.coalesce("cnt", F.lit(0)))
                     .alias("deg"),
                     (F.col("alive") & F.col("_p").isNull()).alias("alive"),
                     F.when(F.col("_p").isNotNull() & F.col("alive"), F.lit(k - 1).cast("long"))

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
 from ligra_spark.graph import Graph
 from ligra_spark.operators.edge_map import edge_map
+from ligra_spark.operators.vertex_ops import vertex_filter
 
 
 def maximal_independent_set(
@@ -40,7 +41,7 @@ def maximal_independent_set(
 
     timer = Timer()
     for it in range(max_iters):
-        undecided = state.where(F.col("flag") == 0).select("id")
+        undecided = vertex_filter(state, F.col("flag") == 0).select("id")
         n_und = undecided.count()
         if n_und == 0:
             break

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
 from ligra_spark.graph import Graph
-from ligra_spark.operators.edge_map import edge_map
+from ligra_spark.operators.edge_map import edge_map, edge_map_count
 
 
 def next_bucket(state: DataFrame, key: str = "bkt") -> tuple[int | None, int]:
@@ -151,10 +151,7 @@ def kcore_bucketed(
         if k is None:
             break
         active = state.where(F.col("bkt") == k).select("id")
-        decr = edge_map(
-            g, active, message=F.lit(1).cast("long"), combiner="sum",
-            frontier_size=n_k,
-        )
+        decr = edge_map_count(g, active, by="dst")
         nxt = (
             state.join(active.withColumn("_a", F.lit(1)), "id", "left")
             .join(decr, "id", "left")
@@ -164,7 +161,7 @@ def kcore_bucketed(
                 .when(
                     F.col("bkt").isNotNull(),
                     F.greatest(
-                        F.col("bkt") - F.coalesce("msg", F.lit(0)), F.lit(k)
+                        F.col("bkt") - F.coalesce("cnt", F.lit(0)), F.lit(k)
                     ),
                 )
                 .otherwise(F.col("bkt"))

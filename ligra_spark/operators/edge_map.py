@@ -155,13 +155,23 @@ def edge_map_count(
     by: str = "src",
 ) -> DataFrame:
     """edgeMapFilter / edgeMapCount analog (ligra.h:336-368,
-    edgeMapReduce.h:76-81): count each frontier vertex's out-neighbors
-    satisfying ``predicate`` (by='src'), or count in-messages per
-    destination (by='dst')."""
-    edges = graph.edges_by_src if by == "src" else graph.edges_by_dst
-    if frontier is not None:
-        key = "src" if by == "src" else "src"
-        edges = edges.join(F.broadcast(frontier.withColumnRenamed("id", key)), key)
+    edgeMapReduce.h:76-81). The frontier always gates the edge SOURCES
+    (both reference forms iterate the frontier's out-edges); ``by``
+    selects the grouping side:
+
+    - ``by='src'``: per frontier member, how many of its out-edges
+      satisfy ``predicate`` (the edgeMapFilter count, ligra.h:344-350).
+    - ``by='dst'``: per destination, how many frontier in-neighbors it
+      has (the edgeMapCount histogram, edgeMapReduce.h:76-81) — e.g.
+      KCore's per-neighbor decrement.
+
+    Returns ``(id, cnt LONG)``."""
+    edges = graph.edges_by_src
     if predicate is not None:
         edges = edges.where(predicate)
+    if frontier is not None:
+        fr = frontier.select(F.col("id").alias("src"))
+        # planner picks broadcast vs shuffle by frontier size/stats,
+        # same trade-off as edge_map's direction choice
+        edges = edges.join(fr, "src")
     return edges.groupBy(F.col(by).alias("id")).agg(F.count(F.lit(1)).alias("cnt"))
