@@ -1,3 +1,7 @@
-from ligra_spark.streaming.ingest import incremental_degrees, stream_edges
+from ligra_spark.streaming.ingest import (
+    incremental_degrees,
+    make_degree_merger,
+    stream_edges,
+)
 
-__all__ = ["incremental_degrees", "stream_edges"]
+__all__ = ["incremental_degrees", "make_degree_merger", "stream_edges"]

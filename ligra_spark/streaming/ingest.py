@@ -8,10 +8,23 @@ table incrementally, and checkpoint — the iterative algorithms then run
 batch jobs over the maintained state (per SURVEY.md §2.5: iterative
 batch, not streaming fixpoints).
 
-``incremental_degrees`` uses ``foreachBatch`` merge (idempotent per
-epoch via the streaming checkpoint) — each micro-batch computes its own
-degree partials with the same partial+final aggregation as the batch
-path and merges them into the running parquet state.
+``incremental_degrees`` merge contract (foreachBatch is at-least-once):
+
+- **Idempotent replay**: the last committed ``epoch_id`` is recorded in
+  a manifest after each successful merge; a replayed micro-batch with
+  ``epoch_id <= committed`` is skipped, so crash-restart never
+  double-counts a batch.
+- **O(delta) per batch**: state is hash-bucketed on ``id`` into
+  ``num_buckets`` partition directories; each merge reads and rewrites
+  ONLY the buckets its delta touches (dynamic partition overwrite).
+  Untouched buckets' files are never rewritten — at a 10^9-vertex
+  degree table a micro-batch touching 1% of buckets costs 1% of a full
+  rewrite, not O(total).
+- Exposure: a crash between the partition-overwrite commit and the
+  manifest write replays one epoch into already-merged buckets. Closing
+  that window needs a transactional table format — on a real cluster
+  this merge is one Iceberg ``MERGE INTO`` with the same bucket layout;
+  the parquet implementation here keeps the identical dataflow.
 """
 
 from __future__ import annotations
@@ -30,52 +43,79 @@ def stream_edges(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EDGE_SCHEMA).parquet(path)
 
 
-def incremental_degrees(
-    spark: SparkSession,
-    edges_stream: DataFrame,
-    state_dir: str,
-    checkpoint_dir: str,
-    available_now: bool = True,
-):
-    """Maintain ``(id, out_deg, in_deg)`` incrementally under arriving
-    edges. Returns the finished StreamingQuery (availableNow mode drains
-    what exists and stops — the test/backfill mode; pass False for a
-    continuous run)."""
+def make_degree_merger(state_dir: str, num_buckets: int = 32):
+    """The foreachBatch merge function (exposed for direct testing of
+    replay idempotency and partition-pruned rewrites)."""
     state_path = str(Path(state_dir) / "degrees")
+    manifest = Path(state_dir) / "_committed_epoch"
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
+        s = batch.sparkSession
+        committed = int(manifest.read_text()) if manifest.exists() else -1
+        if epoch_id <= committed:
+            return  # at-least-once replay of an already-merged batch
         out_d = batch.groupBy(F.col("src").alias("id")).agg(
             F.count(F.lit(1)).alias("o")
         )
         in_d = batch.groupBy(F.col("dst").alias("id")).agg(
             F.count(F.lit(1)).alias("i")
         )
-        delta = out_d.join(in_d, "id", "full_outer").select(
-            "id",
-            F.coalesce("o", F.lit(0)).alias("out_deg"),
-            F.coalesce("i", F.lit(0)).alias("in_deg"),
+        delta = (
+            out_d.join(in_d, "id", "full_outer")
+            .select(
+                "id",
+                F.coalesce("o", F.lit(0)).alias("out_deg"),
+                F.coalesce("i", F.lit(0)).alias("i_deg"),
+            )
+            .withColumnRenamed("i_deg", "in_deg")
+            .withColumn("bucket", F.pmod(F.hash("id"), F.lit(num_buckets)))
         )
-        s = batch.sparkSession
+        delta = delta.persist()
+        touched = [int(r["bucket"]) for r in delta.select("bucket").distinct().collect()]
         try:
-            current = s.read.parquet(state_path)
+            current = s.read.parquet(state_path).where(F.col("bucket").isin(touched))
         except Exception:
             current = None
         if current is not None:
             merged = (
                 current.unionByName(delta)
-                .groupBy("id")
+                .groupBy("id", "bucket")
                 .agg(
                     F.sum("out_deg").alias("out_deg"),
                     F.sum("in_deg").alias("in_deg"),
                 )
+                .select("id", "out_deg", "in_deg", "bucket")
             )
         else:
-            merged = delta
-        # write-then-swap so a crash mid-write never corrupts state
-        tmp = state_path + f"_epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        s.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+            merged = delta.select("id", "out_deg", "in_deg", "bucket")
+        prev_mode = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # dynamic mode replaces only the bucket=... directories the
+            # merged frame contains — exactly the touched buckets
+            merged.write.mode("overwrite").partitionBy("bucket").parquet(state_path)
+        finally:
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+            delta.unpersist()
+        manifest.write_text(str(epoch_id))
 
+    return merge
+
+
+def incremental_degrees(
+    spark: SparkSession,
+    edges_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    num_buckets: int = 32,
+):
+    """Maintain ``(id, out_deg, in_deg)`` incrementally under arriving
+    edges — idempotent, bucket-partitioned merges (see module
+    docstring). Returns the finished StreamingQuery (availableNow mode
+    drains what exists and stops — the test/backfill mode; pass False
+    for a continuous run)."""
+    merge = make_degree_merger(state_dir, num_buckets)
     writer = (
         edges_stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)
