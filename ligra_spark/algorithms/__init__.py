@@ -23,3 +23,5 @@ __all__ = [
     "triangle_count",
     "triangles_per_vertex",
 ]
+from ligra_spark.algorithms.eccentricity import fm_ecc, loglog_ecc
+from ligra_spark.algorithms.cf import cf

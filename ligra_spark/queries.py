@@ -375,6 +375,59 @@ FROM v LEFT JOIN (SELECT id, COUNT(*) AS c FROM corners GROUP BY id) cnt ON v.id
 """
 
 
+def q_cf_iter1_mod(spark, sf_dir):
+    """One batch-GD round of collaborative filtering (CF.C) on the
+    weighted mod-graph, symmetrized canonically (min weight per
+    undirected pair, replicated in the oracle). With init 0.5 the
+    round-1 estimate is the scalar 0.25·K, so every latent component is
+    the same closed form — the oracle checks component 0."""
+    from ligra_spark.algorithms import cf
+
+    base = mod_graph_edges(_events(spark, sf_dir)).withColumn(
+        "w", ((F.col("src") + 2 * F.col("dst")) % 9 + 1).cast("double")
+    )
+    sym = (
+        base.select("src", "dst", "w")
+        .unionAll(
+            base.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+    )
+    g = Graph(sym, symmetric=True, num_partitions=4)
+    out = cf(g, k=20, num_iters=1, step=0.001, lam=0.001, symmetrize=False)
+    return out.select("id", F.round(F.col("latent")[0], 9).alias("f0"))
+
+
+CF_ITER1_MOD_SQL = f"""
+WITH base AS (
+  SELECT src, dst, CAST((src + 2 * dst) % 9 + 1 AS DOUBLE) AS w
+  FROM ({MOD_GRAPH_SQL})),
+e AS (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT src, dst, w FROM base
+    UNION ALL
+    SELECT dst AS src, src AS dst, w FROM base)
+  GROUP BY 1, 2),
+v AS (SELECT DISTINCT src AS id FROM e),
+grad AS (SELECT dst AS id, SUM(0.5 * (w - 5.0)) AS gsum FROM e GROUP BY dst)
+SELECT v.id, ROUND(0.5 + 0.001 * (-0.001 * 0.5 + COALESCE(gsum, 0)), 9) AS f0
+FROM v LEFT JOIN grad ON v.id = grad.id
+"""
+
+
+def q_fm_ecc_mod(spark, sf_dir):
+    """Flajolet-Martin eccentricity sketch (FM-Ecc.C). The estimate is a
+    deterministic LOWER bound of true eccentricity (sketch-dependent), so
+    this is a rows-only driver check; pytest asserts bound + accuracy vs
+    exact BFS, and radii_mod holds the exact-eccentricity oracle."""
+    from ligra_spark.algorithms import fm_ecc
+
+    return fm_ecc(_mod_graph(spark, sf_dir), counters=32)
+
+
 def q_pagerank_delta_iter1_events(spark, sf_dir):
     """One PageRankDelta round == one plain power-iteration round (the
     PageRankDelta.C:47-85 first-round special case), so it shares the
@@ -730,6 +783,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_bucketed_types": q_kcore_bucketed_types,
     "mis_mod": q_mis_mod,
     "radii_mod": q_radii_mod,
+    "fm_ecc_mod": q_fm_ecc_mod,
+    "cf_iter1_mod": q_cf_iter1_mod,
     "tri_vertex_mod": q_tri_vertex_mod,
     "pagerank_delta_iter1_events": q_pagerank_delta_iter1_events,
     "pagerank_csr_iter1_events": q_pagerank_csr_iter1_events,
@@ -762,6 +817,7 @@ ORACLE_SQL: dict[str, str] = {
     "bc_mod": BC_MOD_SQL,
     "bellman_ford_mod": BF_MOD_SQL,
     "sssp_delta_mod": BF_MOD_SQL,
+    "cf_iter1_mod": CF_ITER1_MOD_SQL,
     "mis_mod": MIS_MOD_SQL,
     "radii_mod": RADII_MOD_SQL,
     "tri_vertex_mod": TRI_VERTEX_MOD_SQL,

@@ -1,0 +1,63 @@
+"""FM-Ecc / LogLog-Ecc sketch eccentricity vs exact BFS eccentricity."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ligra_spark.algorithms import fm_ecc, loglog_ecc
+from ligra_spark.graph import Graph
+from ligra_spark.sources.rmat import rmat_graph_df
+
+
+def _exact_ecc(edges, n_ids):
+    """BFS from every vertex over the symmetrized edge list."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    ecc = {}
+    for s in n_ids:
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        ecc[s] = max(dist.values())
+    return ecc
+
+
+def test_fm_ecc_is_lower_bound_and_tight_on_path(spark):
+    # path 0-1-2-3-4: distinct init sketches make the bound exact whp
+    edges = [(i, i + 1) for i in range(5)]
+    g = Graph(spark.createDataFrame(edges, "src long, dst long"), num_partitions=2)
+    exact = _exact_ecc(edges, range(6))
+    got = {r["id"]: r["ecc"] for r in fm_ecc(g, counters=32).collect()}
+    assert set(got) == set(exact)
+    for v in exact:
+        assert got[v] <= exact[v]
+    # with 32 counters on 6 vertices the estimate is exact
+    assert got == exact
+    g.unpersist()
+
+
+def test_fm_and_loglog_lower_bound_rmat(spark):
+    g = Graph(rmat_graph_df(spark, 6, 250), dedupe=True, num_partitions=4)
+    edges = [(r["src"], r["dst"]) for r in g.edges_by_src.collect()]
+    ids = sorted({x for e in edges for x in e})
+    exact = _exact_ecc(edges, ids)
+    # FM registers carry a full bit-vector; LogLog keeps only the max
+    # geometric rank, so its lower bound saturates earlier — the accuracy
+    # floors reflect estimator strength, not implementation quality.
+    for fn, floor in ((fm_ecc, 0.8), (loglog_ecc, 0.35)):
+        got = {r["id"]: r["ecc"] for r in fn(g, counters=16).collect()}
+        assert set(got) == set(exact)
+        for v in exact:
+            assert got[v] <= exact[v]
+        hits = sum(got[v] == exact[v] for v in exact)
+        assert hits / len(exact) > floor, f"{fn.__name__}: {hits}/{len(exact)}"
+    g.unpersist()
