@@ -116,11 +116,18 @@ def csr_spmv(
     blocks: DataFrame,
     state: DataFrame,
     num_partitions: int,
+    combiner: str = "sum",
 ) -> DataFrame:
     """One gather-scatter round: state ``(id, share)`` → per-destination
-    sums ``(id, msg)``. The cogrouped Arrow kernel pre-aggregates by
-    destination inside each partition; the only exchange is the final
-    partial-sum combine."""
+    combines ``(id, msg)``. The cogrouped Arrow kernel pre-aggregates by
+    destination inside each partition (np.bincount for sum,
+    ufunc.at for min/max); the only exchange is the final partial
+    combine. This is the dense-pull substrate behind
+    ``edge_map(direction='pull')``."""
+    if combiner not in ("sum", "min", "max"):
+        raise ValueError(
+            f"csr_spmv supports sum/min/max combiners, not {combiner!r}"
+        )
 
     def kernel(blocks_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if blocks_pdf.empty or state_pdf.empty:
@@ -137,18 +144,29 @@ def csr_spmv(
         share = state_pdf["share"].to_numpy(dtype=np.float64)
         order = np.argsort(ids)
         ids, share = ids[order], share[order]
-        # align state to block srcs (gather): srcs with no state get 0
+        # align state to block srcs (gather): srcs with no state message
         pos = np.searchsorted(ids, srcs)
         pos = np.clip(pos, 0, len(ids) - 1)
         found = ids[pos] == srcs
-        src_share = np.where(found, share[pos], 0.0)
-        # scatter: fan each src's share across its out-edges, then
-        # pre-aggregate by destination (map-side combine)
         deg = np.diff(indptr)
-        vals = np.repeat(src_share, deg)
-        partial = np.bincount(inverse, weights=vals, minlength=len(uniq_dsts))
-        nz = partial != 0.0
-        return pd.DataFrame({"id": uniq_dsts[nz], "partial": partial[nz]})
+        if combiner == "sum":
+            src_share = np.where(found, share[pos], 0.0)
+            # scatter: fan each src's share across its out-edges, then
+            # pre-aggregate by destination (map-side combine)
+            vals = np.repeat(src_share, deg)
+            partial = np.bincount(inverse, weights=vals, minlength=len(uniq_dsts))
+            live = partial != 0.0
+        else:
+            # min/max: fan only live sources, ufunc.at pre-combine
+            live_src = found
+            vals = np.repeat(np.where(live_src, share[pos], 0.0), deg)
+            edge_live = np.repeat(live_src, deg)
+            fill = np.inf if combiner == "min" else -np.inf
+            partial = np.full(len(uniq_dsts), fill)
+            ufunc = np.minimum if combiner == "min" else np.maximum
+            ufunc.at(partial, inverse[edge_live], vals[edge_live])
+            live = np.isfinite(partial)
+        return pd.DataFrame({"id": uniq_dsts[live], "partial": partial[live]})
 
     tagged_state = state.withColumn(
         "part_id", F.pmod(F.hash("id"), F.lit(num_partitions)).cast("int")
@@ -158,7 +176,8 @@ def csr_spmv(
         .cogroup(tagged_state.groupby("part_id"))
         .applyInPandas(kernel, MSG_SCHEMA)
     )
-    return partials.groupBy("id").agg(F.sum("partial").alias("msg"))
+    agg = {"sum": F.sum, "min": F.min, "max": F.max}[combiner]
+    return partials.groupBy("id").agg(agg("partial").alias("msg"))
 
 
 def pagerank_csr(

@@ -158,6 +158,19 @@ class Graph:
             self._m = self.edges_by_src.count()
         return self._m
 
+    def csr_blocks(self) -> DataFrame:
+        """Partition-local CSR blocks in Arrow batches (built lazily,
+        persisted) — the dense-pull substrate for
+        ``edge_map(direction='pull')``; see csr.py."""
+        if getattr(self, "_csr_blocks", None) is None:
+            from ligra_spark.csr import build_csr_blocks
+
+            self._csr_blocks = build_csr_blocks(
+                self.edges_by_src, self.num_partitions
+            )
+            self._csr_blocks.count()
+        return self._csr_blocks
+
     # -- derived graphs ---------------------------------------------------
     def symmetrized(self) -> "Graph":
         """Undirected view: union of edges and reversed edges, deduped —
@@ -218,5 +231,7 @@ class Graph:
         for df in (self.edges_by_src, self.edges_by_dst, self._degrees, self._vertices):
             if df is not None:
                 df.unpersist()
+        if getattr(self, "_csr_blocks", None) is not None:
+            self._csr_blocks.unpersist()
         if self._edges_ckpt is not None:
             _unp(self._edges_ckpt)

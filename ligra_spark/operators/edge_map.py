@@ -108,6 +108,29 @@ def edge_map(
     agg = COMBINERS[combiner]
     msg_col = F.col(message) if isinstance(message, str) else message
 
+    if direction == "pull":
+        # Dense-pull plan (ligra.h:58-82 / decodeInNghBreakEarly): the
+        # per-partition Arrow CSR kernel gathers frontier values and
+        # pre-combines per destination; only partials shuffle. The
+        # message must be a pure function of the frontier row (per-source
+        # value) — edge-weight messages stay on the push plans.
+        # Measured note (sf0.1, local[32]): the JVM push plans beat this
+        # by ~2x because every round pays a full state Arrow transfer
+        # into Python workers; 'auto' therefore never picks pull in
+        # local mode — it exists for API parity and for cluster profiles
+        # where the JVM join is shuffle-bound rather than CPU-bound.
+        from ligra_spark.csr import csr_spmv
+
+        fr = graph.vertices if frontier is None else frontier
+        # expose the frontier id under both names so message exprs
+        # written against "src" (push convention) also resolve
+        vals = fr.withColumn("src", F.col("id")).select(
+            "id", msg_col.alias("share")
+        )
+        return csr_spmv(
+            graph.csr_blocks(), vals, graph.num_partitions, combiner=combiner
+        )
+
     if frontier is None:
         # Whole-vertex-set frontier: always the co-partitioned plan.
         live = graph.edges_by_src

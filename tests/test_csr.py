@@ -63,3 +63,50 @@ def test_pagerank_csr_parity(spark, mk_graph):
         [got[k] for k in keys], [want[k] for k in keys], atol=1e-6
     )
     g.unpersist()
+
+
+def test_edge_map_pull_matches_push(spark):
+    """direction='pull' (Arrow CSR gather) produces identical messages
+    to the push plans, for sum and min combiners."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from ligra_spark.graph import Graph
+    from ligra_spark.operators import edge_map
+
+    rng = np.random.default_rng(3)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 60, size=(400, 2))
+        if a != b
+    ]
+    g = Graph(spark.createDataFrame(edges, "src long, dst long"),
+              dedupe=True, num_partitions=4)
+    frontier = g.degrees.select("id", (F.col("id") % 7 + 1).cast("double").alias("x"))
+    for comb in ("sum", "min"):
+        push = {
+            (r["id"]): r["msg"]
+            for r in edge_map(g, frontier, message=F.col("x"), combiner=comb,
+                              direction="shuffle").collect()
+        }
+        pull = {
+            (r["id"]): r["msg"]
+            for r in edge_map(g, frontier, message=F.col("x"), combiner=comb,
+                              direction="pull").collect()
+        }
+        assert push.keys() == pull.keys()
+        for k in push:
+            assert abs(push[k] - pull[k]) < 1e-9, (comb, k)
+    g.unpersist()
+
+
+def test_edge_map_pull_src_message(spark):
+    """message='src' (hash-min CC shape) resolves on the pull plan."""
+    from ligra_spark.graph import Graph
+    from ligra_spark.operators import edge_map
+
+    g = Graph(spark.createDataFrame([(5, 1), (7, 1), (5, 2)], "src long, dst long"),
+              num_partitions=2)
+    got = {r["id"]: r["msg"] for r in
+           edge_map(g, None, message="src", combiner="min", direction="pull").collect()}
+    assert got == {1: 5, 2: 5}
+    g.unpersist()
