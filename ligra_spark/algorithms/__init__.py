@@ -25,3 +25,5 @@ __all__ = [
 ]
 from ligra_spark.algorithms.eccentricity import fm_ecc, loglog_ecc
 from ligra_spark.algorithms.cf import cf
+from ligra_spark.algorithms.setcover import set_cover
+from ligra_spark.algorithms.local import nibble, ppr_acl

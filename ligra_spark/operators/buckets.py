@@ -37,16 +37,21 @@ from ligra_spark.graph import Graph
 from ligra_spark.operators.edge_map import edge_map, edge_map_count
 
 
-def next_bucket(state: DataFrame, key: str = "bkt") -> tuple[int | None, int]:
-    """(min non-null bucket id, its vertex count) — bucket.h's
-    ``next_bucket`` as one aggregation job."""
-    row = (
+def next_bucket(
+    state: DataFrame, key: str = "bkt", order: str = "increasing"
+) -> tuple[int | None, int]:
+    """(extreme non-null bucket id, its vertex count) — bucket.h's
+    ``next_bucket`` as one aggregation job. ``order`` matches
+    make_buckets' increasing (SSSP/KCore) / decreasing (SetCover)
+    traversal."""
+    grouped = (
         state.where(F.col(key).isNotNull())
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(key)
-        .first()
     )
+    row = grouped.orderBy(
+        F.col(key).asc() if order == "increasing" else F.col(key).desc()
+    ).first()
     if row is None:
         return None, 0
     return int(row[key]), int(row["n"])

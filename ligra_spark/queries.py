@@ -428,6 +428,29 @@ def q_fm_ecc_mod(spark, sf_dir):
     return fm_ecc(_mod_graph(spark, sf_dir), counters=32)
 
 
+def q_setcover_mod(spark, sf_dir):
+    """Bucketed (1+eps)-approx set cover (bucketing/SetCover.C) with
+    sets = mod-graph sources. Deterministic output; pytest replays the
+    identical rounds in Python — rows-only here (the bucketed parallel
+    schedule is not one ANSI query)."""
+    from ligra_spark.algorithms import set_cover
+
+    return set_cover(_mod_graph(spark, sf_dir))
+
+
+def q_ppr_acl_mod(spark, sf_dir):
+    """ACL personalized-PageRank push (localAlg/ACL-Sync-Local-Opt.C)
+    from the min vertex of the symmetrized mod-graph; sparse local
+    state. Rows-only; pytest holds the exact push-loop oracle."""
+    from ligra_spark.algorithms import ppr_acl
+
+    g = _mod_graph(spark, sf_dir).symmetrized()
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return ppr_acl(g, root, alpha=0.15, eps=1e-6).select(
+        "id", F.round("p", 9).alias("p")
+    )
+
+
 def q_pagerank_delta_iter1_events(spark, sf_dir):
     """One PageRankDelta round == one plain power-iteration round (the
     PageRankDelta.C:47-85 first-round special case), so it shares the
@@ -785,6 +808,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radii_mod": q_radii_mod,
     "fm_ecc_mod": q_fm_ecc_mod,
     "cf_iter1_mod": q_cf_iter1_mod,
+    "setcover_mod": q_setcover_mod,
+    "ppr_acl_mod": q_ppr_acl_mod,
     "tri_vertex_mod": q_tri_vertex_mod,
     "pagerank_delta_iter1_events": q_pagerank_delta_iter1_events,
     "pagerank_csr_iter1_events": q_pagerank_csr_iter1_events,
