@@ -1,4 +1,8 @@
-from ligra_spark.sources.adjacency import read_adjacency_graph
+from ligra_spark.sources.adjacency import (
+    read_adjacency_graph,
+    read_binary_graph,
+    write_binary_graph,
+)
 from ligra_spark.sources.events import edges_from_events, event_type_graph
 from ligra_spark.sources.transcripts import (
     derive_edges,
@@ -12,5 +16,7 @@ __all__ = [
     "event_type_graph",
     "generate_transcripts",
     "read_adjacency_graph",
+    "read_binary_graph",
+    "write_binary_graph",
     "vertex_ids",
 ]

@@ -109,3 +109,29 @@ def test_golden_rmat_weighted_bellman_ford(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
     g.unpersist()
+
+
+def test_binary_graph_roundtrip(spark, tmp_path):
+    """Binary .config/.adj/.idx reader (IO.h:318-371): round-trips the
+    golden text fixture byte-for-byte at the edge-list level."""
+    from ligra_spark.sources import read_binary_graph, write_binary_graph
+    from ligra_spark.sources.adjacency import parse_adjacency_file
+
+    src, dst, _ = parse_adjacency_file(RMAT)
+    prefix = str(tmp_path / "g")
+    write_binary_graph(prefix, src, dst)
+    df = read_binary_graph(spark, prefix)
+    got = sorted((r["src"], r["dst"]) for r in df.collect())
+    assert got == sorted(zip(src.tolist(), dst.tolist()))
+
+
+def test_binary_graph_roundtrip_weighted(spark, tmp_path):
+    from ligra_spark.sources import read_binary_graph, write_binary_graph
+    from ligra_spark.sources.adjacency import parse_adjacency_file
+
+    src, dst, w = parse_adjacency_file(RMAT_W)
+    prefix = str(tmp_path / "gw")
+    write_binary_graph(prefix, src, dst, w)
+    df = read_binary_graph(spark, prefix, weighted=True)
+    got = sorted((r["src"], r["dst"], r["w"]) for r in df.collect())
+    assert got == sorted(zip(src.tolist(), dst.tolist(), [float(int(x)) for x in w]))
