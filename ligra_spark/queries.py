@@ -685,6 +685,57 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
 
 
 # --------------------------------------------------------------------------
+# multimodal plumbing over a media table derived from documents
+# (payload = UTF-8 text bytes; kind/duration from deterministic rules)
+# --------------------------------------------------------------------------
+
+def _media_from_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("application/x-fake-video").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        ((F.col("doc_id") % 50) * 100 + 500).cast("long").alias("duration_ms"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def q_media_bytes_docs(spark, sf_dir):
+    """Runs the full Arrow-batched mapInPandas media pipeline
+    (multimodal.extract_features with the documented fake decoder) and
+    emits the oracle-checkable part: per-media payload byte counts. The
+    decode itself is a stub (no media libs in this container); the
+    batch plumbing, schema, and byte accounting are real."""
+    from ligra_spark.functions.multimodal import extract_features
+
+    feats = extract_features(_media_from_docs(spark, sf_dir))
+    return feats.select("media_id", "n_bytes")
+
+
+MEDIA_BYTES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_frame_sample_docs(spark, sf_dir):
+    """Video frame-sampling plan (JVM-side sequence explode over the
+    duration metadata) — one row per (media, frame timestamp)."""
+    from ligra_spark.functions.multimodal import sample_frames
+
+    return sample_frames(_media_from_docs(spark, sf_dir), every_ms=200)
+
+
+FRAME_SAMPLE_SQL = """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, (doc_id % 50) * 100 + 500 - 1, 200)) AS frame_ts_ms
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
 
@@ -825,6 +876,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_jaccard_docs": q_lsh_jaccard_docs,
     "simhash_docs": q_simhash_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
+    "media_bytes_docs": q_media_bytes_docs,
+    "frame_sample_docs": q_frame_sample_docs,
     # embeddings: similarity search
     "ann_topk": q_ann_topk,
     "ann_topk_kernel": q_ann_topk_kernel,
@@ -859,6 +912,8 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_jaccard_docs": LSH_JACCARD_SQL,
     "simhash_docs": SIMHASH_SQL,
     "simhash_pairs_docs": SIMHASH_PAIRS_SQL,
+    "media_bytes_docs": MEDIA_BYTES_SQL,
+    "frame_sample_docs": FRAME_SAMPLE_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
     "embedding_dups": EMBEDDING_DUPS_SQL,
