@@ -37,29 +37,57 @@ SCALING_QUERIES = (
 )
 
 
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+
+
 def run_level(cpus: int) -> dict:
+    """Best-of-TRIALS per query: this sandbox is a shared VM with
+    measured CPU steal up to ~15% of the box in 5s windows, so single
+    runs carry multi-second stalls that are host noise, not engine
+    time. Min-of-trials is the standard noisy-host protocol; the trial
+    spread is reported alongside."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
         SPARK_GRAFT_CPUS=str(cpus),
-        # compute-dominated input: ~1.5M derived edges so per-job
+        # compute-dominated input: ~10M derived edges so per-job
         # scheduling overhead (constant per level) amortizes, as it
         # would on a real cluster at 10^9+ edges
-        SPARK_GRAFT_NCONV=os.environ.get("SPARK_GRAFT_NCONV", "60000"),
+        SPARK_GRAFT_NCONV=os.environ.get("SPARK_GRAFT_NCONV", "400000"),
         SPARK_GRAFT_PR_ITERS="10",
         SPARK_GRAFT_ANN_N=os.environ.get("SPARK_GRAFT_ANN_N", "400000"),
         SPARK_GRAFT_ANN_Q=os.environ.get("SPARK_GRAFT_ANN_Q", "2000"),
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         SPARK_GRAFT_ONLY=",".join(SCALING_QUERIES),
     )
-    out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    trials = []
+    for _ in range(TRIALS):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        trials.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    best = dict(trials[0])
+    best["queries"] = {
+        q: min(t["queries"][q] for t in trials) for q in trials[0]["queries"]
+    }
+    best["queries_spread"] = {
+        q: [round(t["queries"][q], 2) for t in trials]
+        for q in trials[0]["queries"]
+    }
+    m = best["extras"].get("transcript_edges")
+    if m and "pagerank_transcripts" in best["queries"]:
+        best["extras"]["pagerank_edges_per_sec"] = round(
+            m * 10 / best["queries"]["pagerank_transcripts"], 1
+        )
+    if m and "cc_transcripts" in best["queries"]:
+        best["extras"]["cc_edges_per_sec"] = round(
+            2 * m / best["queries"]["cc_transcripts"], 1
+        )
+    return best
 
 
 def main() -> None:
@@ -72,10 +100,15 @@ def main() -> None:
     lines = [
         "# BENCH — measured results",
         "",
-        f"Input: `{SF_DIR}` (+ deterministic synthetic transcripts/R-MAT,",
-        "seed 42). Protocol: the full bench.py headline suite per",
-        "parallelism level, fresh JVM each (the sandbox stand-in for",
-        "`spark-submit` at N vs 4N executors; see BASELINE.md).",
+        f"Input: `{SF_DIR}` (+ deterministic synthetic transcripts at",
+        "n_conv=400k → ~10M edges, seed 42 — sized so compute dominates",
+        "per-job overhead, as it would at cluster scale). Protocol: the",
+        "scaling-query suite per parallelism level, fresh JVM each (the",
+        f"sandbox stand-in for `spark-submit` at N vs 4N executors), "
+        f"best of {TRIALS}",
+        "trials per level — this sandbox is a shared VM with measured CPU",
+        "steal up to ~15% of the box, so min-of-trials separates engine",
+        "time from host noise (per-trial spreads below).",
         "",
         f"| query | local[{n}] (s) | local[{n4}] (s) | speedup | efficiency |",
         "|---|---|---|---|---|",
@@ -110,6 +143,12 @@ def main() -> None:
             )
     mean_eff = sum(effs) / len(effs) if effs else 0.0
     report["scaling_efficiency"] = round(mean_eff, 3)
+    lines += ["", "Per-trial spreads (seconds):", ""]
+    for q in results[n]["queries"]:
+        s_n = results[n].get("queries_spread", {}).get(q)
+        s_4n = results[n4].get("queries_spread", {}).get(q)
+        if s_n and s_4n:
+            lines.append(f"- {q}: local[{n}] {s_n} / local[{n4}] {s_4n}")
     lines += [
         "",
         "`*` = fixed-size micro inputs (500 docs/vecs) — overhead-bound,",

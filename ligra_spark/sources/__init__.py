@@ -1,6 +1,7 @@
 from ligra_spark.sources.adjacency import (
     read_adjacency_graph,
     read_binary_graph,
+    read_snap_graph,
     write_binary_graph,
 )
 from ligra_spark.sources.events import edges_from_events, event_type_graph
@@ -17,6 +18,7 @@ __all__ = [
     "generate_transcripts",
     "read_adjacency_graph",
     "read_binary_graph",
+    "read_snap_graph",
     "write_binary_graph",
     "vertex_ids",
 ]

@@ -102,3 +102,25 @@ def read_binary_graph(
     if w is not None:
         data["w"] = w
     return spark.createDataFrame(pd.DataFrame(data))
+
+
+def read_snap_graph(
+    spark: SparkSession, path: str, weighted: bool = False
+) -> DataFrame:
+    """SNAP edge-list text reader (the utils/SNAPtoAdj.C input format):
+    one ``src dst [w]`` pair per line, ``#`` comments. Reads
+    distributed via spark.read.text — at 100 TB this is a plain
+    line-parallel scan with the regex split pushed into codegen."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).where(
+        ~F.col("value").startswith("#") & (F.trim("value") != "")
+    )
+    toks = F.split(F.trim(F.regexp_replace("value", r"\s+", " ")), " ")
+    cols = [
+        toks.getItem(0).cast("long").alias("src"),
+        toks.getItem(1).cast("long").alias("dst"),
+    ]
+    if weighted:
+        cols.append(toks.getItem(2).cast("double").alias("w"))
+    return lines.select(*cols)

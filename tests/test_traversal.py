@@ -135,3 +135,17 @@ def test_binary_graph_roundtrip_weighted(spark, tmp_path):
     df = read_binary_graph(spark, prefix, weighted=True)
     got = sorted((r["src"], r["dst"], r["w"]) for r in df.collect())
     assert got == sorted(zip(src.tolist(), dst.tolist(), [float(int(x)) for x in w]))
+
+
+def test_snap_reader(spark, tmp_path):
+    """SNAP edge-list text format (utils/SNAPtoAdj input)."""
+    from ligra_spark.sources import read_snap_graph
+
+    p = tmp_path / "snap.txt"
+    p.write_text("# comment line\n0 1\n0\t2\n1 2\n\n2 0\n")
+    got = sorted(tuple(r) for r in read_snap_graph(spark, str(p)).collect())
+    assert got == [(0, 1), (0, 2), (1, 2), (2, 0)]
+    pw = tmp_path / "snapw.txt"
+    pw.write_text("0 1 2.5\n1 2 1.0\n")
+    gotw = sorted(tuple(r) for r in read_snap_graph(spark, str(pw), weighted=True).collect())
+    assert gotw == [(0, 1, 2.5), (1, 2, 1.0)]
