@@ -836,6 +836,71 @@ def q_lsh_topk(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# relational coverage over the TPC-H-shaped driver tables: the engine's
+# DataFrame surface is general — scans push filters into parquet, prune
+# columns, and the money sums are rounded to whole units so cross-engine
+# float reassociation (error ~1e-4 at these magnitudes) cannot flip the
+# value hash.
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: filter pushed to the parquet
+    scan, two-column grouping, partial-aggregated sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 0) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_segment_spend(spark, sf_dir):
+    """orders ⋈ customer rollup by market segment — the broadcast-join
+    + partial-agg shape (customer is the small build side)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 0).alias("total_spend"),
+        )
+    )
+
+
+SEGMENT_SPEND_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 0) AS total_spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -878,6 +943,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs_docs": q_simhash_pairs_docs,
     "media_bytes_docs": q_media_bytes_docs,
     "frame_sample_docs": q_frame_sample_docs,
+    # relational coverage over TPC-H-shaped tables
+    "pricing_summary": q_pricing_summary,
+    "segment_spend": q_segment_spend,
     # embeddings: similarity search
     "ann_topk": q_ann_topk,
     "ann_topk_kernel": q_ann_topk_kernel,
@@ -914,6 +982,8 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_pairs_docs": SIMHASH_PAIRS_SQL,
     "media_bytes_docs": MEDIA_BYTES_SQL,
     "frame_sample_docs": FRAME_SAMPLE_SQL,
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "segment_spend": SEGMENT_SPEND_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
     "embedding_dups": EMBEDDING_DUPS_SQL,
