@@ -27,3 +27,4 @@ from ligra_spark.algorithms.eccentricity import fm_ecc, loglog_ecc
 from ligra_spark.algorithms.cf import cf
 from ligra_spark.algorithms.setcover import set_cover
 from ligra_spark.algorithms.local import nibble, ppr_acl
+from ligra_spark.algorithms.radii import kbfs_exact

@@ -29,23 +29,26 @@ def radii(
     symmetrize: bool = True,
     max_iters: int = 1000,
     metrics: IterMetrics | None = None,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """Returns ``(id, radius INT)`` — per-vertex eccentricity estimate
-    (lower bound from k sampled BFS sources)."""
+    (lower bound from k sampled BFS sources; exact over the given set
+    when ``sources`` is passed explicitly, ≤64 ids)."""
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
 
     # sample k start vertices deterministically by hash rank
     # (Radii.C:84-89 samples via hashInt over vertex ids)
-    sample = (
-        g.vertices.orderBy(F.xxhash64(F.col("id") + F.lit(seed)))
-        .limit(k)
-        .withColumn(
-            "bit",
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), "
-                "CAST(row_number() OVER (ORDER BY id) - 1 AS INT))"
-            ),
-        )
+    base = (
+        sources.select("id")
+        if sources is not None
+        else g.vertices.orderBy(F.xxhash64(F.col("id") + F.lit(seed))).limit(k)
+    )
+    sample = base.withColumn(
+        "bit",
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(row_number() OVER (ORDER BY id) - 1 AS INT))"
+        ),
     )
     state = g.vertices.join(sample.select("id", "bit"), "id", "left").select(
         "id",
@@ -89,3 +92,45 @@ def radii(
         if metrics is not None:
             metrics.record(it, frontier=frontier_n, wall_s=timer.lap())
     return state.select("id", "radius")
+
+
+def kbfs_exact(
+    graph: Graph,
+    batch: int = 64,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """Exact per-vertex eccentricity (apps/eccentricity/kBFS-Exact.C):
+    run the 64-bit multi-BFS over EVERY vertex in ``ceil(n/64)``
+    batches and take the per-vertex max radius across batches.
+
+    O(n/64) full propagations — the reference's exact variant has the
+    same asymptotics; use ``radii`` (sampled) or ``fm_ecc`` (sketch) at
+    scale. Returns ``(id, radius INT)`` over the symmetrized graph."""
+    from math import ceil
+
+    from pyspark.sql import Window
+
+    from ligra_spark.algorithms._iter import materialize
+
+    g = graph.symmetrized() if not graph.symmetric else graph
+    n = g.n
+    # deterministic batches by id rank (single-partition window — exact
+    # eccentricity is a small/medium-graph operation by nature)
+    verts = materialize(
+        g.vertices.withColumn(
+            "batch",
+            ((F.row_number().over(Window.orderBy("id")) - 1) / batch).cast("long"),
+        )
+    )
+    ecc = g.vertices.select("id", F.lit(-1).alias("radius"))
+    for b in range(ceil(n / batch)):
+        srcs = verts.where(F.col("batch") == b).select("id")
+        part = radii(g, symmetrize=False, metrics=metrics, sources=srcs)
+        ecc = materialize(
+            ecc.join(part.withColumnRenamed("radius", "r2"), "id", "left").select(
+                "id",
+                F.greatest("radius", F.coalesce("r2", F.lit(-1))).alias("radius"),
+            ),
+            ecc if b > 0 else None,
+        )
+    return ecc

@@ -61,3 +61,18 @@ def test_fm_and_loglog_lower_bound_rmat(spark):
         hits = sum(got[v] == exact[v] for v in exact)
         assert hits / len(exact) > floor, f"{fn.__name__}: {hits}/{len(exact)}"
     g.unpersist()
+
+
+def test_kbfs_exact_matches_bfs_oracle(spark):
+    """kBFS-Exact batches 64-source BFS over every vertex -> exact
+    eccentricity (here n > 64 so multiple batches run)."""
+    from ligra_spark.algorithms import kbfs_exact
+
+    g = Graph(rmat_graph_df(spark, 7, 500), dedupe=True, num_partitions=4)
+    edges = [(r["src"], r["dst"]) for r in g.edges_by_src.collect()]
+    ids = sorted({x for e in edges for x in e})
+    assert len(ids) > 64
+    exact = _exact_ecc(edges, ids)
+    got = {r["id"]: r["radius"] for r in kbfs_exact(g).collect()}
+    assert got == exact
+    g.unpersist()
