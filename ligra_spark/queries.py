@@ -140,7 +140,9 @@ WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >=
 
 def q_pagerank_iter1_events(spark, sf_dir):
     g = _events_graph(spark, sf_dir)
-    return pagerank(g, max_iters=1).select("id", F.round("rank", 9).alias("rank"))
+    return pagerank(g, max_iters=1).select(
+        "id", _round_rank(F.col("rank")).alias("rank")
+    )
 
 
 PAGERANK_ITER1_SQL = f"""
@@ -154,7 +156,7 @@ contrib AS (
   GROUP BY e.dst
 )
 SELECT v.id,
-       ROUND(0.15 / n.c + 0.85 * COALESCE(contrib.s, 0), 9) AS rank
+       ROUND(0.15 / n.c + 0.85 * COALESCE(contrib.s, 0) + 3e-13, 9) AS rank
 FROM v CROSS JOIN n LEFT JOIN contrib ON v.id = contrib.id
 """
 
@@ -192,18 +194,85 @@ SELECT id, MIN(dist) AS dist FROM r GROUP BY id
 
 
 def q_lp_events(spark, sf_dir):
+    """5 synchronous LP rounds. On per-user chains the mode-with-min-
+    tie-break update degenerates to min-of-neighbor-labels (neighbor
+    counts are all 1), so the oracle replays the 5 rounds with window
+    lag/lead — a closed form for the full iterative engine."""
     return label_propagation(_events_graph(spark, sf_dir), max_iters=5)
+
+
+def _lp_events_sql(iters: int = 5) -> str:
+    body = """
+WITH c AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER w AS pos, COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 2)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+r0 AS (SELECT user_id, event_id, pos, n, event_id AS label FROM c)"""
+    for k in range(1, iters + 1):
+        body += f""",
+r{k} AS (
+  SELECT user_id, event_id, pos, n,
+         CASE WHEN n = 1 THEN label
+              WHEN pos = 1 THEN lead(label) OVER w
+              WHEN pos = n THEN lag(label) OVER w
+              ELSE LEAST(lag(label) OVER w, lead(label) OVER w) END AS label
+  FROM r{k-1}
+  WINDOW w AS (PARTITION BY user_id ORDER BY pos)
+)"""
+    return body + f"\nSELECT event_id AS id, label FROM r{iters}"
+
+
+LP_EVENTS_SQL = _lp_events_sql(5)
 
 
 def q_kcore_types(spark, sf_dir):
     return kcore(_types_graph(spark, sf_dir))
 
 
+# Rounding nudge shared by the pagerank queries and their oracles: with
+# n = 10^k vertices the rank values are exact decimal halves at the 9th
+# digit (0.85^j × 0.15/n terms terminate), so the two engines' ~1e-19
+# float drift lands them on OPPOSITE sides of the round boundary. The
+# +3e-13 offset (>> drift, << the 1e-9 resolution) moves the ideal
+# values off the boundary deterministically in both engines.
+_PR_NUDGE = 3e-13
+
+
+def _round_rank(col):
+    return F.round(col + F.lit(_PR_NUDGE), 9)
+
+
 def q_pagerank_events(spark, sf_dir):
+    """Full 15-iteration PageRank (tol=0 so both engines run exactly 15
+    rounds); the oracle unrolls the power iteration as 15 chained CTEs."""
     g = _events_graph(spark, sf_dir)
-    return pagerank(g, max_iters=15).select(
-        "id", F.round("rank", 9).alias("rank")
+    return pagerank(g, max_iters=15, tol=0.0).select(
+        "id", _round_rank(F.col("rank")).alias("rank")
     )
+
+
+def _pagerank_events_sql(iters: int = 15) -> str:
+    body = f"""
+WITH edges AS ({EDGES_FROM_EVENTS_SQL}),
+v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+n AS (SELECT COUNT(*) AS c FROM v),
+outd AS (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY 1),
+r0 AS (SELECT v.id, 1.0 / n.c AS rank FROM v CROSS JOIN n)"""
+    for k in range(1, iters + 1):
+        body += f""",
+r{k} AS (
+  SELECT v.id, 0.15 / n.c + 0.85 * COALESCE(s.contrib, 0) AS rank
+  FROM v CROSS JOIN n LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / o.od) AS contrib
+    FROM edges e JOIN outd o ON e.src = o.id JOIN r{k-1} r ON r.id = e.src
+    GROUP BY e.dst) s ON v.id = s.id)"""
+    return body + f"\nSELECT id, ROUND(rank + {_PR_NUDGE}, 9) AS rank FROM r{iters}"
+
+
+PAGERANK_EVENTS_SQL = _pagerank_events_sql(15)
 
 
 # --------------------------------------------------------------------------
@@ -457,7 +526,7 @@ def q_pagerank_delta_iter1_events(spark, sf_dir):
     closed-form iter-1 oracle."""
     g = _events_graph(spark, sf_dir)
     return pagerank_delta(g, max_iters=1).select(
-        "id", F.round("rank", 9).alias("rank")
+        "id", _round_rank(F.col("rank")).alias("rank")
     )
 
 
@@ -467,7 +536,7 @@ def q_pagerank_csr_iter1_events(spark, sf_dir):
     against the same DuckDB closed form as the join plan."""
     g = _events_graph(spark, sf_dir)
     return pagerank_csr(g, max_iters=1).select(
-        "id", F.round("rank", 9).alias("rank")
+        "id", _round_rank(F.col("rank")).alias("rank")
     )
 
 
@@ -827,12 +896,48 @@ EMBEDDING_DUPS_SQL = _embedding_dups_lsh_sql()
 
 
 def q_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-k. The oracle replays the
+    identical bucketing (hyperplane constants inlined) and rescoring, so
+    the driver verifies the approximate path value-for-value — recall
+    relative to exact top-k is characterized separately in pytest."""
     emb = _emb(spark, sf_dir)
     queries = emb.orderBy("vec_id").limit(20)
     res = lsh_bucket_topk(emb, queries, k=5, planes=6, dim=64)
     return res.select(
         "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
     )
+
+
+def _lsh_topk_sql(k: int = 5, planes: int = 6, dim: int = 64) -> str:
+    from ligra_spark.functions.similarity import _hyperplane
+
+    bits = []
+    for p in range(planes):
+        arr = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+        bits.append(
+            f"(CASE WHEN list_inner_product(ev, {arr}) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, ev AS qv, bucket
+      FROM b ORDER BY vec_id LIMIT 20),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.ev) AS sim
+  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
+FROM r WHERE rnk <= {k}
+"""
+
+
+LSH_TOPK_SQL = _lsh_topk_sql()
 
 
 # --------------------------------------------------------------------------
@@ -958,6 +1063,8 @@ ORACLE_SQL: dict[str, str] = {
     "degrees_events": DEGREES_SQL,
     "cc_events": CC_EVENTS_SQL,
     "pagerank_iter1_events": PAGERANK_ITER1_SQL,
+    "pagerank_events": PAGERANK_EVENTS_SQL,
+    "lp_events": LP_EVENTS_SQL,
     "triangles_types": TRIANGLES_TYPES_SQL,
     "bfs_types": BFS_TYPES_SQL,
     "bc_mod": BC_MOD_SQL,
@@ -984,9 +1091,10 @@ ORACLE_SQL: dict[str, str] = {
     "frame_sample_docs": FRAME_SAMPLE_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "segment_spend": SEGMENT_SPEND_SQL,
+    "lsh_topk": LSH_TOPK_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
     "embedding_dups": EMBEDDING_DUPS_SQL,
-    # pagerank_events, lp_events, kcore_types, lsh_topk: fixpoint /
-    # recall-dependent top-k → rows-only checks.
+    # kcore peels, sketch/bucketed schedules (fm_ecc, setcover,
+    # ppr_acl) → rows-only checks; pytest holds their exact oracles.
 }
