@@ -366,13 +366,56 @@ def q_sssp_delta_mod(spark, sf_dir):
     return delta_stepping(g, root, delta=3.0)
 
 
-def q_kcore_bucketed_types(spark, sf_dir):
+def q_kcore_mod(spark, sf_dir):
+    """Iterative k-core peel (KCore.C:29-107) on the mod-graph, verified
+    against a DuckDB degeneracy-ordering oracle: a single-row recursive
+    CTE peels the minimum-remaining-degree vertex per step over a
+    neighbor MAP, accumulating core = running max of removal degree —
+    the textbook sequential equivalent of the parallel peel."""
+    return kcore(_mod_graph(spark, sf_dir))
+
+
+def q_kcore_bucketed_mod(spark, sf_dir):
     """Work-efficient bucketed k-core (apps/bucketing/KCore.C) on the
-    type graph — rows-only driver check; pytest asserts equality with
-    the naive peel on richer graphs."""
+    same graph/oracle — agreement verifies the Julienne bucket
+    scheduler produces the identical decomposition."""
     from ligra_spark.operators.buckets import kcore_bucketed
 
-    return kcore_bucketed(_types_graph(spark, sf_dir))
+    return kcore_bucketed(_mod_graph(spark, sf_dir))
+
+
+KCORE_MOD_SQL = f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+nb AS (SELECT src AS id, list(dst) AS ns FROM e GROUP BY src),
+nbm AS (SELECT map_from_entries(list(struct_pack(k := id, v := ns))) AS m,
+               COUNT(*) AS n FROM nb),
+g(i, k, remaining, done_ids, done_cores) AS (
+  SELECT 0, 0, (SELECT list(id ORDER BY id) FROM v),
+         CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+  FROM nbm
+  UNION ALL
+  SELECT g.i + 1,
+         GREATEST(g.k, degs.mindeg),
+         list_filter(g.remaining, x -> x <> victim.id),
+         list_append(g.done_ids, victim.id),
+         list_append(g.done_cores, GREATEST(g.k, degs.mindeg))
+  FROM g, nbm,
+  LATERAL (
+    SELECT MIN(len(list_intersect(map_extract(nbm.m, r)[1], g.remaining))) AS mindeg
+    FROM unnest(g.remaining) AS t(r)
+  ) degs,
+  LATERAL (
+    SELECT MIN(r) AS id
+    FROM unnest(g.remaining) AS t(r)
+    WHERE len(list_intersect(map_extract(nbm.m, r)[1], g.remaining)) = degs.mindeg
+  ) victim
+  WHERE len(g.remaining) > 0
+),
+final AS (SELECT done_ids, done_cores FROM g, nbm WHERE g.i = nbm.n)
+SELECT unnest(done_ids) AS id, unnest(done_cores) AS core FROM final
+"""
 
 
 def q_mis_mod(spark, sf_dir):
@@ -1024,7 +1067,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bc_mod": q_bc_mod,
     "bellman_ford_mod": q_bellman_ford_mod,
     "sssp_delta_mod": q_sssp_delta_mod,
-    "kcore_bucketed_types": q_kcore_bucketed_types,
+    "kcore_mod": q_kcore_mod,
+    "kcore_bucketed_mod": q_kcore_bucketed_mod,
     "mis_mod": q_mis_mod,
     "radii_mod": q_radii_mod,
     "fm_ecc_mod": q_fm_ecc_mod,
@@ -1070,6 +1114,8 @@ ORACLE_SQL: dict[str, str] = {
     "bc_mod": BC_MOD_SQL,
     "bellman_ford_mod": BF_MOD_SQL,
     "sssp_delta_mod": BF_MOD_SQL,
+    "kcore_mod": KCORE_MOD_SQL,
+    "kcore_bucketed_mod": KCORE_MOD_SQL,
     "cf_iter1_mod": CF_ITER1_MOD_SQL,
     "mis_mod": MIS_MOD_SQL,
     "radii_mod": RADII_MOD_SQL,
