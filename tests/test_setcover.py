@@ -41,7 +41,11 @@ def _oracle(edges, epsilon=0.01):
             if s in cover:
                 del bucket[s]
             else:
-                d = len(nbrs[s] - covered)
+                # the reference rebuckets by the PRE-claim packed degree
+                # (D[v] from step 1, SetCover.C:80-89) — elements covered
+                # by this round's winners are only noticed when the set
+                # is next processed
+                d = deg[s]
                 if d > 0:
                     bucket[s] = math.floor(x * math.log(d))
                 else:
