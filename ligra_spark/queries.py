@@ -229,6 +229,9 @@ LP_EVENTS_SQL = _lp_events_sql(5)
 
 
 def q_kcore_types(spark, sf_dir):
+    """Iterative k-core peel on the event-type co-occurrence graph,
+    sharing the DuckDB degeneracy-peel replay with kcore_mod (the
+    oracle template is graph-parametric)."""
     return kcore(_types_graph(spark, sf_dir))
 
 
@@ -384,8 +387,14 @@ def q_kcore_bucketed_mod(spark, sf_dir):
     return kcore_bucketed(_mod_graph(spark, sf_dir))
 
 
-KCORE_MOD_SQL = f"""
-WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+def _kcore_replay_sql(base_sql: str) -> str:
+    """Degeneracy-peel replay oracle, parametric in the edge-table SQL:
+    a single-row recursive CTE peels the minimum-remaining-degree
+    vertex per step over a neighbor MAP, accumulating core = running
+    max of removal degree — the textbook sequential equivalent of the
+    parallel peel (KCore.C:29-107)."""
+    return f"""
+WITH RECURSIVE base AS ({base_sql}),
 e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
 v AS (SELECT DISTINCT src AS id FROM e),
 nb AS (SELECT src AS id, list(dst) AS ns FROM e GROUP BY src),
@@ -416,6 +425,10 @@ g(i, k, remaining, done_ids, done_cores) AS (
 final AS (SELECT done_ids, done_cores FROM g, nbm WHERE g.i = nbm.n)
 SELECT unnest(done_ids) AS id, unnest(done_cores) AS core FROM final
 """
+
+
+KCORE_MOD_SQL = _kcore_replay_sql(MOD_GRAPH_SQL)
+KCORE_TYPES_SQL = _kcore_replay_sql(EVENT_TYPE_GRAPH_SQL)
 
 
 def q_mis_mod(spark, sf_dir):
@@ -542,18 +555,89 @@ def q_fm_ecc_mod(spark, sf_dir):
 
 def q_setcover_mod(spark, sf_dir):
     """Bucketed (1+eps)-approx set cover (bucketing/SetCover.C) with
-    sets = mod-graph sources. Deterministic output; pytest replays the
-    identical rounds in Python — rows-only here (the bucketed parallel
-    schedule is not one ANSI query)."""
+    sets = mod-graph sources. Deterministic (min-id claim ties), so a
+    DuckDB recursive CTE replays the identical bucket rounds: pop max
+    bucket, pack degrees over uncovered elements, threshold, min-id
+    claim, win/cover, rebucket by pre-claim packed degree."""
     from ligra_spark.algorithms import set_cover
 
     return set_cover(_mod_graph(spark, sf_dir))
 
 
+# The SetCover replay oracle is one monolithic expression tree: DuckDB
+# 1.0 lambdas cannot reference LATERAL-correlated tables, so each
+# per-round quantity (current bucket, active sets, packed degrees,
+# claims, winners) is composed inline below and substituted into the
+# recursive member. Semantics mirror set_cover() line for line
+# (SetCover.C:40-89): eps = 0.01, x = 1/ln(1.01).
+_SC_CUR = "list_max(list_transform(g.sets, cb -> cb.bkt))"
+_SC_UNCV = "list_filter(elml.es, ue -> NOT list_contains(g.covered, ue))"
+_SC_ACT = f"list_filter(g.sets, af -> af.bkt = {_SC_CUR})"
+_SC_DEGS = (
+    f"list_transform({_SC_ACT}, dg -> {{'id': dg.id, "
+    f"'d': len(list_intersect(map_extract(nbm.m, dg.id)[1], {_SC_UNCV}))}})"
+)
+_SC_THR = f"CAST(ceil(pow(1.01, {_SC_CUR})) AS BIGINT)"
+_SC_LOW = f"GREATEST(CAST(ceil(pow(1.01, {_SC_CUR} - 1)) AS BIGINT), 1)"
+_SC_STILL = (
+    f"list_transform(list_filter({_SC_DEGS}, sf -> sf.d >= {_SC_THR}), "
+    f"sg -> sg.id)"
+)
+_SC_CLAIMS = (
+    f"list_filter(list_transform({_SC_UNCV}, cu -> {{'e': cu, "
+    f"'c': list_min(list_intersect(map_extract(rbm.m, cu)[1], {_SC_STILL}))}}), "
+    f"cp -> cp.c IS NOT NULL)"
+)
+_SC_WON = (
+    f"list_filter({_SC_STILL}, wv -> "
+    f"len(list_filter({_SC_CLAIMS}, wp -> wp.c = wv)) >= {_SC_LOW})"
+)
+_SC_NEWCOV = (
+    f"list_transform(list_filter({_SC_CLAIMS}, na -> "
+    f"list_contains({_SC_WON}, na.c)), nb2 -> nb2.e)"
+)
+_SC_REB = (
+    f"list_transform(list_filter({_SC_DEGS}, ra -> "
+    f"NOT list_contains({_SC_WON}, ra.id) AND ra.d > 0), "
+    f"rb2 -> {{'id': rb2.id, "
+    f"'bkt': CAST(floor(x.x * ln(CAST(rb2.d AS DOUBLE))) AS BIGINT)}})"
+)
+_SC_KEEP = (
+    f"list_filter(g.sets, kp -> kp.bkt IS NOT NULL AND kp.bkt <> {_SC_CUR})"
+)
+
+SETCOVER_MOD_SQL = f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+nb AS (SELECT src AS id, list(dst) AS ns, COUNT(*) AS d FROM base GROUP BY src),
+rb AS (SELECT dst AS id, list(src) AS ss FROM base GROUP BY dst),
+nbm AS (SELECT map_from_entries(list(struct_pack(k := id, v := ns))) AS m FROM nb),
+rbm AS (SELECT map_from_entries(list(struct_pack(k := id, v := ss))) AS m FROM rb),
+elml AS (SELECT list(DISTINCT dst) AS es FROM base),
+x AS (SELECT 1.0 / ln(1.01) AS x),
+init AS (
+  SELECT list(struct_pack(id := id,
+                          bkt := CAST(floor(x.x * ln(CAST(d AS DOUBLE))) AS BIGINT))) AS sets
+  FROM nb, x),
+g(i, sets, covered, cover) AS (
+  SELECT 0, init.sets, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]) FROM init
+  UNION ALL
+  SELECT g.i + 1,
+         {_SC_KEEP} || {_SC_REB},
+         g.covered || {_SC_NEWCOV},
+         g.cover || {_SC_WON}
+  FROM g, nbm, rbm, elml, x
+  WHERE {_SC_CUR} IS NOT NULL
+),
+final AS (SELECT cover FROM g ORDER BY i DESC LIMIT 1)
+SELECT DISTINCT unnest(cover) AS set_id FROM final
+"""
+
+
 def q_ppr_acl_mod(spark, sf_dir):
     """ACL personalized-PageRank push (localAlg/ACL-Sync-Local-Opt.C)
     from the min vertex of the symmetrized mod-graph; sparse local
-    state. Rows-only; pytest holds the exact push-loop oracle."""
+    state. The synchronous whole-frontier push schedule is
+    deterministic, so a DuckDB oracle replays it round for round."""
     from ligra_spark.algorithms import ppr_acl
 
     g = _mod_graph(spark, sf_dir).symmetrized()
@@ -561,6 +645,53 @@ def q_ppr_acl_mod(spark, sf_dir):
     return ppr_acl(g, root, alpha=0.15, eps=1e-6).select(
         "id", F.round("p", 9).alias("p")
     )
+
+
+def _ppr_unrolled_sql(base_sql: str, rounds: int = 80, eps: str = "1e-6") -> str:
+    """ACL-push replay as UNROLLED per-round CTEs (frontier → grouped
+    push → state merge). A recursive-CTE formulation hits a DuckDB 1.0
+    wrong-results bug (map_extract inside nested lambdas inside the
+    recursive member evaluates against stale rows), so the loop is
+    unrolled instead: once the frontier empties a round is an exact
+    no-op, so any ``rounds`` ≥ the true iteration count is equivalent
+    (the mod-graph fixpoint needs ~28 at sf0.01). CTEs are
+    MATERIALIZED — inlining would re-expand each round's 3 references
+    to the previous state exponentially and reopen the parquet scan
+    hundreds of times. Constants are written as CAST-to-DOUBLE
+    expressions so both engines perform identical IEEE arithmetic
+    (bare decimals are DECIMAL-typed in DuckDB)."""
+    push = "(CAST(0.85 AS DOUBLE) / CAST(1.15 AS DOUBLE))"
+    keep = "(CAST(0.3 AS DOUBLE) / CAST(1.15 AS DOUBLE))"
+    parts = [
+        f"""WITH base AS ({base_sql}),
+e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d
+                     FROM e GROUP BY src),
+s0 AS (SELECT MIN(src) AS id, CAST(0 AS DOUBLE) AS p, CAST(1 AS DOUBLE) AS r
+       FROM e)"""
+    ]
+    for i in range(rounds):
+        parts.append(f"""
+f{i} AS MATERIALIZED (SELECT s.id, s.r, d.d FROM s{i} s JOIN deg d USING (id)
+         WHERE s.r > d.d * {eps}),
+m{i} AS MATERIALIZED (SELECT e.dst AS id, SUM({push} * f.r / f.d) AS msg
+         FROM f{i} f JOIN e ON e.src = f.id GROUP BY e.dst),
+s{i + 1} AS MATERIALIZED (SELECT COALESCE(s.id, m.id) AS id,
+           COALESCE(s.p, CAST(0 AS DOUBLE))
+             + CASE WHEN f.id IS NOT NULL THEN {keep} * s.r
+                    ELSE CAST(0 AS DOUBLE) END AS p,
+           CASE WHEN f.id IS NOT NULL THEN CAST(0 AS DOUBLE)
+                ELSE COALESCE(s.r, CAST(0 AS DOUBLE)) END
+             + COALESCE(m.msg, CAST(0 AS DOUBLE)) AS r
+           FROM s{i} s FULL OUTER JOIN m{i} m ON s.id = m.id
+           LEFT JOIN f{i} f ON COALESCE(s.id, m.id) = f.id)""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(p, 9) AS p FROM s{rounds} WHERE p > 0"
+    )
+
+
+PPR_ACL_MOD_SQL = _ppr_unrolled_sql(MOD_GRAPH_SQL)
 
 
 def q_pagerank_delta_iter1_events(spark, sf_dir):
@@ -1114,6 +1245,7 @@ ORACLE_SQL: dict[str, str] = {
     "bc_mod": BC_MOD_SQL,
     "bellman_ford_mod": BF_MOD_SQL,
     "sssp_delta_mod": BF_MOD_SQL,
+    "kcore_types": KCORE_TYPES_SQL,
     "kcore_mod": KCORE_MOD_SQL,
     "kcore_bucketed_mod": KCORE_MOD_SQL,
     "cf_iter1_mod": CF_ITER1_MOD_SQL,
@@ -1137,10 +1269,12 @@ ORACLE_SQL: dict[str, str] = {
     "frame_sample_docs": FRAME_SAMPLE_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "segment_spend": SEGMENT_SPEND_SQL,
+    "setcover_mod": SETCOVER_MOD_SQL,
+    "ppr_acl_mod": PPR_ACL_MOD_SQL,
     "lsh_topk": LSH_TOPK_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
     "embedding_dups": EMBEDDING_DUPS_SQL,
-    # kcore peels, sketch/bucketed schedules (fm_ecc, setcover,
-    # ppr_acl) → rows-only checks; pytest holds their exact oracles.
+    # fm_ecc (sketch lower bound) and ppr_acl (sequential push loop)
+    # → rows-only checks; pytest holds their exact oracles.
 }
