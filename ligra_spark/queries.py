@@ -544,13 +544,94 @@ FROM v LEFT JOIN grad ON v.id = grad.id
 
 
 def q_fm_ecc_mod(spark, sf_dir):
-    """Flajolet-Martin eccentricity sketch (FM-Ecc.C). The estimate is a
-    deterministic LOWER bound of true eccentricity (sketch-dependent), so
-    this is a rows-only driver check; pytest asserts bound + accuracy vs
-    exact BFS, and radii_mod holds the exact-eccentricity oracle."""
+    """Flajolet-Martin eccentricity sketch (FM-Ecc.C). Fully
+    deterministic given the xxhash64-seeded registers, so the DuckDB
+    oracle replays the OR-propagation exactly: init registers are
+    precomputed by a pure-Python XXH64 (verified bit-identical to
+    Spark's xxhash64) and inlined as literals, then 48 unrolled rounds
+    of bit_or group-merges track the last round each vertex's sketch
+    changed. pytest additionally asserts the lower-bound + accuracy
+    properties vs exact BFS eccentricity."""
     from ligra_spark.algorithms import fm_ecc
 
     return fm_ecc(_mod_graph(spark, sf_dir), counters=32)
+
+
+# --- pure-Python XXH64 of one 8-byte little-endian long, seed 42 ---
+# bit-identical to Spark's `xxhash64(longCol)` (verified over the full
+# 64x32 (id, slot) domain); used to inline FM-Ecc's init registers
+# into the DuckDB oracle, since DuckDB has no xxhash64.
+_XXM = (1 << 64) - 1
+_XXP1, _XXP2, _XXP3, _XXP4, _XXP5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+
+
+def _xxh64_long(value: int, seed: int = 42) -> int:
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _XXM
+
+    h = (seed + _XXP5 + 8) & _XXM
+    k = rotl((value & _XXM) * _XXP2 & _XXM, 31) * _XXP1 & _XXM
+    h ^= k
+    h = (rotl(h, 27) * _XXP1 + _XXP4) & _XXM
+    h ^= h >> 33
+    h = (h * _XXP2) & _XXM
+    h ^= h >> 29
+    h = (h * _XXP3) & _XXM
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _fm_init_regs(n: int = 64, counters: int = 32, seed: int = 42) -> str:
+    """VALUES literal of fm_ecc's init registers: abs(xxhash64(
+    id*counters + slot + seed)) & -abs(...), Java abs semantics."""
+    rows = []
+    for i in range(n):
+        for s in range(counters):
+            h = _xxh64_long(i * counters + s + seed)
+            a = h if h >= 0 else (-h if h != -(1 << 63) else h)
+            reg = 1 if a == 0 else a & (-a) & _XXM
+            reg = reg - (1 << 64) if reg >= (1 << 63) else reg
+            rows.append(f"({i},{s},{reg})")
+    return ",".join(rows)
+
+
+def _fm_ecc_unrolled_sql(base_sql: str, rounds: int = 48) -> str:
+    """FM-Ecc replay: OR-propagation is a monotone idempotent fixpoint,
+    so the frontier-gated Spark schedule and this full-push unrolled
+    replay produce identical sketches each round (sketch_r(v) = OR of
+    init over vertices within distance r) and identical last-changed
+    rounds. Rounds past the fixpoint are exact no-ops, so any
+    ``rounds`` >= the true max eccentricity is equivalent."""
+    parts = [
+        f"""WITH base AS ({base_sql}),
+e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+regs AS (SELECT * FROM (VALUES {_fm_init_regs()}) t(id, slot, reg)),
+s0 AS MATERIALIZED (SELECT v.id, r.slot, CAST(r.reg AS BIGINT) AS reg
+                    FROM v JOIN regs r ON v.id = r.id),
+ecc0 AS (SELECT id, 0 AS ecc FROM v)"""
+    ]
+    for i in range(rounds):
+        parts.append(f"""
+m{i} AS MATERIALIZED (SELECT e.dst AS id, r.slot, bit_or(r.reg) AS msg
+        FROM e JOIN s{i} r ON e.src = r.id GROUP BY e.dst, r.slot),
+s{i + 1} AS MATERIALIZED (SELECT s.id, s.slot, s.reg | COALESCE(m.msg, 0) AS reg
+        FROM s{i} s LEFT JOIN m{i} m ON s.id = m.id AND s.slot = m.slot),
+ch{i} AS MATERIALIZED (SELECT DISTINCT a.id FROM s{i} a JOIN s{i + 1} b
+        ON a.id = b.id AND a.slot = b.slot WHERE a.reg <> b.reg),
+ecc{i + 1} AS MATERIALIZED (SELECT e2.id,
+        CASE WHEN c.id IS NOT NULL THEN {i + 1} ELSE e2.ecc END AS ecc
+        FROM ecc{i} e2 LEFT JOIN ch{i} c ON e2.id = c.id)""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, CAST(ecc AS INT) AS ecc FROM ecc{rounds}"
+    )
+
+
+FM_ECC_MOD_SQL = _fm_ecc_unrolled_sql(MOD_GRAPH_SQL)
 
 
 def q_setcover_mod(spark, sf_dir):
@@ -1271,10 +1352,10 @@ ORACLE_SQL: dict[str, str] = {
     "segment_spend": SEGMENT_SPEND_SQL,
     "setcover_mod": SETCOVER_MOD_SQL,
     "ppr_acl_mod": PPR_ACL_MOD_SQL,
+    "fm_ecc_mod": FM_ECC_MOD_SQL,
     "lsh_topk": LSH_TOPK_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
     "embedding_dups": EMBEDDING_DUPS_SQL,
-    # fm_ecc (sketch lower bound) and ppr_acl (sequential push loop)
-    # → rows-only checks; pytest holds their exact oracles.
+    # every queries() entry above has a DuckDB oracle.
 }
