@@ -584,41 +584,56 @@ def _xxh64_long(value: int, seed: int = 42) -> int:
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
-def _fm_init_regs(n: int = 64, counters: int = 32, seed: int = 42) -> str:
-    """VALUES literal of fm_ecc's init registers: abs(xxhash64(
-    id*counters + slot + seed)) & -abs(...), Java abs semantics."""
+def _fm_init_regs(
+    n: int = 64, counters: int = 32, seed: int = 42, rank: bool = False
+) -> str:
+    """VALUES literal of the sketch init registers: lowest set bit of
+    abs(xxhash64(id*counters + slot + seed)) (Java abs semantics), or
+    its bit POSITION when ``rank`` (the LogLog-Ecc register form)."""
     rows = []
     for i in range(n):
         for s in range(counters):
             h = _xxh64_long(i * counters + s + seed)
             a = h if h >= 0 else (-h if h != -(1 << 63) else h)
             reg = 1 if a == 0 else a & (-a) & _XXM
-            reg = reg - (1 << 64) if reg >= (1 << 63) else reg
+            if rank:
+                reg = reg.bit_length() - 1
+            else:
+                reg = reg - (1 << 64) if reg >= (1 << 63) else reg
             rows.append(f"({i},{s},{reg})")
     return ",".join(rows)
 
 
-def _fm_ecc_unrolled_sql(base_sql: str, rounds: int = 48) -> str:
-    """FM-Ecc replay: OR-propagation is a monotone idempotent fixpoint,
-    so the frontier-gated Spark schedule and this full-push unrolled
-    replay produce identical sketches each round (sketch_r(v) = OR of
-    init over vertices within distance r) and identical last-changed
+def _sketch_ecc_unrolled_sql(
+    base_sql: str, rounds: int = 48, merge: str = "bit_or"
+) -> str:
+    """Sketch-eccentricity replay (FM-Ecc / LogLog-Ecc): OR- and
+    MAX-propagation are monotone idempotent fixpoints, so the
+    frontier-gated Spark schedule and this full-push unrolled replay
+    produce identical sketches each round (sketch_r(v) = merge of init
+    over vertices within distance r) and identical last-changed
     rounds. Rounds past the fixpoint are exact no-ops, so any
     ``rounds`` >= the true max eccentricity is equivalent."""
+    regs = _fm_init_regs(rank=merge != "bit_or")
+    agg, comb = (
+        ("bit_or", "s.reg | COALESCE(m.msg, 0)")
+        if merge == "bit_or"
+        else ("max", "GREATEST(s.reg, COALESCE(m.msg, 0))")
+    )
     parts = [
         f"""WITH base AS ({base_sql}),
 e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
 v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
-regs AS (SELECT * FROM (VALUES {_fm_init_regs()}) t(id, slot, reg)),
+regs AS (SELECT * FROM (VALUES {regs}) t(id, slot, reg)),
 s0 AS MATERIALIZED (SELECT v.id, r.slot, CAST(r.reg AS BIGINT) AS reg
                     FROM v JOIN regs r ON v.id = r.id),
 ecc0 AS (SELECT id, 0 AS ecc FROM v)"""
     ]
     for i in range(rounds):
         parts.append(f"""
-m{i} AS MATERIALIZED (SELECT e.dst AS id, r.slot, bit_or(r.reg) AS msg
+m{i} AS MATERIALIZED (SELECT e.dst AS id, r.slot, {agg}(r.reg) AS msg
         FROM e JOIN s{i} r ON e.src = r.id GROUP BY e.dst, r.slot),
-s{i + 1} AS MATERIALIZED (SELECT s.id, s.slot, s.reg | COALESCE(m.msg, 0) AS reg
+s{i + 1} AS MATERIALIZED (SELECT s.id, s.slot, {comb} AS reg
         FROM s{i} s LEFT JOIN m{i} m ON s.id = m.id AND s.slot = m.slot),
 ch{i} AS MATERIALIZED (SELECT DISTINCT a.id FROM s{i} a JOIN s{i + 1} b
         ON a.id = b.id AND a.slot = b.slot WHERE a.reg <> b.reg),
@@ -631,7 +646,16 @@ ecc{i + 1} AS MATERIALIZED (SELECT e2.id,
     )
 
 
-FM_ECC_MOD_SQL = _fm_ecc_unrolled_sql(MOD_GRAPH_SQL)
+FM_ECC_MOD_SQL = _sketch_ecc_unrolled_sql(MOD_GRAPH_SQL)
+LOGLOG_ECC_MOD_SQL = _sketch_ecc_unrolled_sql(MOD_GRAPH_SQL, merge="max")
+
+
+def q_loglog_ecc_mod(spark, sf_dir):
+    """LogLog-Ecc.C variant: rank registers (lowest-set-bit position)
+    merged by MAX; shares the replay-oracle generator with fm_ecc."""
+    from ligra_spark.algorithms import loglog_ecc
+
+    return loglog_ecc(_mod_graph(spark, sf_dir), counters=32)
 
 
 def q_setcover_mod(spark, sf_dir):
@@ -773,6 +797,59 @@ s{i + 1} AS MATERIALIZED (SELECT COALESCE(s.id, m.id) AS id,
 
 
 PPR_ACL_MOD_SQL = _ppr_unrolled_sql(MOD_GRAPH_SQL)
+
+
+def q_nibble_mod(spark, sf_dir):
+    """Spielman-Teng Nibble truncated lazy walk
+    (localAlg/Nibble-Parallel.C) from the min vertex of the
+    symmetrized mod-graph, capped at 12 rounds; the DuckDB oracle
+    unrolls the identical 12 rounds."""
+    from ligra_spark.algorithms import nibble
+
+    g = _mod_graph(spark, sf_dir).symmetrized()
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return nibble(g, root, eps=1e-3, max_iters=12).select(
+        "id", F.round("p", 9).alias("p")
+    )
+
+
+def _nibble_unrolled_sql(
+    base_sql: str, rounds: int = 12, eps: str = "1e-3"
+) -> str:
+    """Nibble replay: each round the frontier (p >= deg·eps) keeps p/2
+    and spreads p/(2·deg); sub-threshold mass truncates (fresh table).
+    Because a round REBUILDS the state from the frontier alone, the
+    Spark loop's break-on-empty-frontier is replicated with an
+    EXISTS guard per round (an unguarded empty round would wrongly
+    truncate everything instead of keeping the prior state)."""
+    parts = [
+        f"""WITH base AS ({base_sql}),
+e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d
+                     FROM e GROUP BY src),
+s0 AS (SELECT MIN(src) AS id, CAST(1 AS DOUBLE) AS p FROM e)"""
+    ]
+    for i in range(rounds):
+        parts.append(f"""
+f{i} AS MATERIALIZED (SELECT s.id, s.p, d.d FROM s{i} s JOIN deg d USING (id)
+         WHERE s.p >= d.d * {eps}),
+m{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(f.p / (CAST(2 AS DOUBLE) * f.d)) AS msg
+         FROM f{i} f JOIN e ON e.src = f.id GROUP BY e.dst),
+s{i + 1} AS MATERIALIZED (
+  SELECT COALESCE(f.id, m.id) AS id,
+         COALESCE(f.p / CAST(2 AS DOUBLE), CAST(0 AS DOUBLE))
+           + COALESCE(m.msg, CAST(0 AS DOUBLE)) AS p
+  FROM f{i} f FULL OUTER JOIN m{i} m ON f.id = m.id
+  WHERE EXISTS (SELECT 1 FROM f{i})
+  UNION ALL
+  SELECT id, p FROM s{i} WHERE NOT EXISTS (SELECT 1 FROM f{i}))""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(p, 9) AS p FROM s{rounds}"
+    )
+
+
+NIBBLE_MOD_SQL = _nibble_unrolled_sql(MOD_GRAPH_SQL)
 
 
 def q_pagerank_delta_iter1_events(spark, sf_dir):
@@ -1287,6 +1364,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cf_iter1_mod": q_cf_iter1_mod,
     "setcover_mod": q_setcover_mod,
     "ppr_acl_mod": q_ppr_acl_mod,
+    "nibble_mod": q_nibble_mod,
+    "loglog_ecc_mod": q_loglog_ecc_mod,
     "tri_vertex_mod": q_tri_vertex_mod,
     "pagerank_delta_iter1_events": q_pagerank_delta_iter1_events,
     "pagerank_csr_iter1_events": q_pagerank_csr_iter1_events,
@@ -1352,7 +1431,9 @@ ORACLE_SQL: dict[str, str] = {
     "segment_spend": SEGMENT_SPEND_SQL,
     "setcover_mod": SETCOVER_MOD_SQL,
     "ppr_acl_mod": PPR_ACL_MOD_SQL,
+    "nibble_mod": NIBBLE_MOD_SQL,
     "fm_ecc_mod": FM_ECC_MOD_SQL,
+    "loglog_ecc_mod": LOGLOG_ECC_MOD_SQL,
     "lsh_topk": LSH_TOPK_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
