@@ -15,7 +15,8 @@ pure-numpy oracles (see tests/).
 """
 
 from ligra_spark.graph import Graph
+from ligra_spark.hypergraph import Hypergraph
 from ligra_spark.session import get_spark
 
-__all__ = ["Graph", "get_spark"]
+__all__ = ["Graph", "Hypergraph", "get_spark"]
 __version__ = "0.1.0"

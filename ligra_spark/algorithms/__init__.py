@@ -28,3 +28,11 @@ from ligra_spark.algorithms.cf import cf
 from ligra_spark.algorithms.setcover import set_cover
 from ligra_spark.algorithms.local import nibble, ppr_acl
 from ligra_spark.algorithms.radii import kbfs_exact
+from ligra_spark.algorithms.hyper import (
+    hyper_bfs,
+    hyper_bpath,
+    hyper_cc,
+    hyper_kcore,
+    hyper_pagerank,
+    hyper_sssp,
+)

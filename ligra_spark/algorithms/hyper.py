@@ -1,0 +1,371 @@
+"""Hypergraph apps — the apps/hyper/ family on the Hypergraph engine.
+
+Reference semantics, re-expressed over the dual ``vertex_prop`` /
+``hyperedge_prop`` operators (see hypergraph.py):
+
+- ``hyper_bfs``   (HyperBFS.C:41-66)   — alternating half-round BFS:
+  vertex frontier visits unvisited hyperedges, hyperedge frontier
+  visits unvisited vertices. The reference's CAS parent race is
+  nondeterministic; distances are deterministic, so we report dist
+  (vertex layers even, hyperedge layers odd).
+- ``hyper_cc``    (HyperCC.C:52-79)    — alternating min-id label
+  propagation between the two layers until no label changes; the
+  fixpoint labels every vertex/hyperedge with the min vertex id of its
+  connected component.
+- ``hyper_pagerank`` (HyperPageRank.C:84-113) — per iteration the
+  hyperedge mass is rebuilt as Σ members' p/deg(v), then vertex mass
+  as damping·Σ incident hyperedges' p/deg(h) + (1-damping)/nv.
+- ``hyper_sssp``  (HyperSSSP.C:60-96)  — Bellman-Ford relaxation
+  alternating v→h and h→v with per-incidence weights; rounds cap at
+  nv-1 (negative-cycle guard, moot for the non-negative weights used
+  here).
+- ``hyper_kcore`` (HyperKCore.C:87-137) — peeling with phase counter
+  k: remove active vertices with < k ALIVE incident hyperedges (their
+  core number is k-1); a hyperedge dies as soon as ANY member is
+  removed (Remove_Hyperedge, HyperKCore.C:30-41). The reference
+  decrements cached degrees per dead hyperedge; we recount alive
+  incidences exactly, which removes the same vertex set each round
+  (the removal test deg < k is identical; cached values only differ
+  on vertices already below k, which are removed either way).
+- ``hyper_bpath`` (HyperBPath.C:27-80) — B-path reachability: a
+  hyperedge fires only when ALL its members have been visited
+  (counter init -deg, each newly visited member increments once);
+  fired hyperedges then visit their unvisited members. Deterministic
+  in the visit ROUNDS (the parent race is not), so we report dist.
+
+All state lives in columnar (id, value) tables per layer; every round
+is one or two bounded message shuffles — identical cost model to the
+graph apps at 10^12 incidences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
+from ligra_spark.hypergraph import Hypergraph
+
+
+def _seed_df(spark, source):
+    return spark.createDataFrame([(int(source),)], "id long")
+
+
+def hyper_bfs(
+    hg: Hypergraph,
+    source: int,
+    max_iters: int = 10_000,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(kind, id, dist)`` for reached vertices ('v', even dist) and
+    hyperedges ('h', odd dist)."""
+    spark = hg.spark
+    vis_v = materialize(_seed_df(spark, source).select("id", F.lit(0).alias("dist")))
+    vis_h = spark.createDataFrame([], "id long, dist int")
+    frontier = vis_v.select("id")
+    n_f = 1
+
+    timer = Timer()
+    for it in range(max_iters):
+        msgs = hg.vertex_prop(frontier, combiner="min", frontier_size=n_f)
+        new_h = msgs.join(vis_h, "id", "left_anti").select(
+            "id", F.lit(2 * it + 1).alias("dist")
+        )
+        vis_h = materialize(vis_h.unionAll(new_h), vis_h)
+        frontier = vis_h.where(F.col("dist") == 2 * it + 1).select("id")
+        n_f = frontier.count()
+        if n_f == 0:
+            break
+        msgs = hg.hyperedge_prop(frontier, combiner="min", frontier_size=n_f)
+        new_v = msgs.join(vis_v, "id", "left_anti").select(
+            "id", F.lit(2 * it + 2).alias("dist")
+        )
+        vis_v = materialize(vis_v.unionAll(new_v), vis_v)
+        frontier = vis_v.where(F.col("dist") == 2 * it + 2).select("id")
+        n_f = frontier.count()
+        if metrics is not None:
+            metrics.record(it, frontier=n_f, wall_s=timer.lap())
+        if n_f == 0:
+            break
+    return vis_v.select(F.lit("v").alias("kind"), "id", "dist").unionAll(
+        vis_h.select(F.lit("h").alias("kind"), "id", "dist")
+    )
+
+
+def hyper_cc(
+    hg: Hypergraph,
+    max_iters: int = 10_000,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(kind, id, comp)`` — comp = min vertex id in the connected
+    component (hyperedges inherit it from their members)."""
+    lab_v = materialize(hg.vertices.select("id", F.col("id").alias("comp")))
+    lab_h = materialize(
+        hg.hyperedges.select("id", F.lit(None).cast("long").alias("comp"))
+    )
+    frontier_v = lab_v.select("id")
+    n_f = None
+
+    timer = Timer()
+    for it in range(max_iters):
+        msgs = hg.vertex_prop(
+            frontier_v.join(lab_v, "id").select("id", "comp"),
+            message=F.col("comp"),
+            combiner="min",
+            frontier_size=n_f,
+        )
+        upd_h = lab_h.join(msgs, "id", "left").select(
+            "id",
+            F.least(F.col("comp"), F.col("msg")).alias("new"),
+            "comp",
+        )
+        changed_h = upd_h.where(
+            F.col("comp").isNull() | (F.col("new") < F.col("comp"))
+        ).select("id")
+        lab_h = materialize(
+            upd_h.select("id", F.coalesce("new", "comp").alias("comp")), lab_h
+        )
+        n_h = changed_h.count()
+        if n_h == 0:
+            break
+        msgs = hg.hyperedge_prop(
+            changed_h.join(lab_h, "id").select("id", "comp"),
+            message=F.col("comp"),
+            combiner="min",
+            frontier_size=n_h,
+        )
+        upd_v = lab_v.join(msgs, "id", "left").select(
+            "id", F.least("comp", "msg").alias("new"), "comp"
+        )
+        frontier_v = upd_v.where(F.col("new") < F.col("comp")).select("id")
+        lab_v = materialize(
+            upd_v.select("id", F.coalesce("new", "comp").alias("comp")), lab_v
+        )
+        n_f = frontier_v.count()
+        if metrics is not None:
+            metrics.record(it, frontier=n_f, wall_s=timer.lap())
+        if n_f == 0:
+            break
+    return lab_v.select(F.lit("v").alias("kind"), "id", "comp").unionAll(
+        lab_h.select(F.lit("h").alias("kind"), "id", "comp")
+    )
+
+
+def hyper_pagerank(
+    hg: Hypergraph,
+    max_iters: int = 10,
+    damping: float = 0.85,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(kind, id, p)`` — vertex and hyperedge PageRank mass after
+    ``max_iters`` rounds (HyperPageRank.C defaults to damping 0.85 and
+    assumes a connected hypergraph; mass leaks at zero-degree ids just
+    as in the reference)."""
+    nv = hg.nv
+    deg_v = hg.vertex_degrees
+    deg_h = hg.hyperedge_degrees
+    p_v = materialize(
+        deg_v.select("id", (F.lit(1.0) / F.lit(float(nv))).alias("p"), "deg")
+    )
+    p_h = None
+
+    timer = Timer()
+    for it in range(max_iters):
+        # hyperedgeMap(PR_Reset) + vertexProp(PR_Update): pH rebuilt
+        p_h = hg.vertex_prop(
+            p_v.select("id", (F.col("p") / F.col("deg")).alias("share")),
+            message=F.col("share"),
+            combiner="sum",
+            frontier_size=nv,
+        ).select("id", F.col("msg").alias("p"))
+        p_h = materialize(p_h.join(deg_h, "id").select("id", "p", "deg"))
+        # vertexMap(PR_Reset) + hyperedgeProp + PR_Vertex_F
+        gathered = hg.hyperedge_prop(
+            p_h.select("id", (F.col("p") / F.col("deg")).alias("share")),
+            message=F.col("share"),
+            combiner="sum",
+        ).select("id", F.col("msg").alias("gather"))
+        nxt = deg_v.join(gathered, "id", "left").select(
+            "id",
+            (
+                F.lit(damping) * F.coalesce("gather", F.lit(0.0))
+                + F.lit((1.0 - damping) / float(nv))
+            ).alias("p"),
+            "deg",
+        )
+        p_v = materialize(nxt, p_v)
+        if metrics is not None:
+            metrics.record(it, wall_s=timer.lap())
+    return p_v.select(F.lit("v").alias("kind"), "id", "p").unionAll(
+        p_h.select(F.lit("h").alias("kind"), "id", "p")
+    )
+
+
+def hyper_sssp(
+    hg: Hypergraph,
+    source: int,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(kind, id, dist)`` — shortest weighted v→h→v paths from
+    ``source`` (requires a ``w`` column on the incidence)."""
+    if not hg.weighted:
+        raise ValueError("hyper_sssp requires a weighted incidence (w column)")
+    spark = hg.spark
+    dist_v = materialize(_seed_df(spark, source).select("id", F.lit(0.0).alias("dist")))
+    dist_h = spark.createDataFrame([], "id long, dist double")
+    frontier = dist_v
+    n_f = 1
+    nv = hg.nv
+
+    timer = Timer()
+    for rnd in range(nv - 1):
+        msgs = hg.vertex_prop(
+            frontier,
+            message=F.col("dist") + F.col("w"),
+            combiner="min",
+            frontier_size=n_f,
+        )
+        upd = dist_h.join(msgs, "id", "full_outer").select(
+            "id", F.least("dist", "msg").alias("new"), "dist"
+        )
+        frontier = upd.where(
+            F.col("dist").isNull() | (F.col("new") < F.col("dist"))
+        ).select("id", F.col("new").alias("dist"))
+        dist_h = materialize(
+            upd.select("id", F.coalesce("new", "dist").alias("dist")), dist_h
+        )
+        n_f = frontier.count()
+        if n_f == 0:
+            break
+        msgs = hg.hyperedge_prop(
+            frontier,
+            message=F.col("dist") + F.col("w"),
+            combiner="min",
+            frontier_size=n_f,
+        )
+        upd = dist_v.join(msgs, "id", "full_outer").select(
+            "id", F.least("dist", "msg").alias("new"), "dist"
+        )
+        frontier = upd.where(
+            F.col("dist").isNull() | (F.col("new") < F.col("dist"))
+        ).select("id", F.col("new").alias("dist"))
+        dist_v = materialize(
+            upd.select("id", F.coalesce("new", "dist").alias("dist")), dist_v
+        )
+        n_f = frontier.count()
+        if metrics is not None:
+            metrics.record(rnd, frontier=n_f, wall_s=timer.lap())
+        if n_f == 0:
+            break
+    return dist_v.select(F.lit("v").alias("kind"), "id", "dist").unionAll(
+        dist_h.select(F.lit("h").alias("kind"), "id", "dist")
+    )
+
+
+def hyper_kcore(
+    hg: Hypergraph,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(id, core)`` — vertex core numbers under the hypergraph
+    peeling rule: a hyperedge is alive iff ALL members are alive; the
+    k-phase removes vertices with < k alive incident hyperedges."""
+    inc = hg.fwd.edges_by_src  # (src=v, dst=h)
+    alive_v = materialize(hg.vertices.select("id"))
+    spark = hg.spark
+    cores = spark.createDataFrame([], "id long, core int")
+
+    timer = Timer()
+    k = 1
+    it = 0
+    while True:
+        n_before = alive_v.count()
+        if n_before == 0:
+            break
+        # alive hyperedges: every member still alive
+        dead_members = inc.join(
+            alive_v.withColumnRenamed("id", "src"), "src", "left_anti"
+        ).select("dst").distinct()
+        alive_deg = (
+            inc.join(alive_v.withColumnRenamed("id", "src"), "src")
+            .join(dead_members, "dst", "left_anti")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        degs = alive_v.join(alive_deg, "id", "left").select(
+            "id", F.coalesce("deg", F.lit(0)).alias("deg")
+        )
+        removed = degs.where(F.col("deg") < k).select(
+            "id", F.lit(k - 1).cast("int").alias("core")
+        )
+        n_rm = removed.count()
+        if n_rm == 0:
+            k += 1
+            continue
+        cores = materialize(cores.unionAll(removed), cores)
+        alive_v = materialize(
+            alive_v.join(removed.select("id"), "id", "left_anti"), alive_v
+        )
+        if metrics is not None:
+            metrics.record(it, k=k, removed=n_rm, wall_s=timer.lap())
+        it += 1
+    return cores
+
+
+def hyper_bpath(
+    hg: Hypergraph,
+    source: int,
+    max_iters: int = 10_000,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(kind, id, dist)`` — B-path reachability: hyperedges fire only
+    once ALL members are visited; fired hyperedges visit their
+    members. Vertex dist = round first visited, hyperedge dist = round
+    fired."""
+    spark = hg.spark
+    deg_h = hg.hyperedge_degrees
+    vis_v = materialize(_seed_df(spark, source).select("id", F.lit(0).alias("dist")))
+    vis_h = spark.createDataFrame([], "id long, dist int")
+    cnt_h = materialize(deg_h.select("id", F.lit(0).alias("cnt")))
+    frontier = vis_v.select("id")
+    n_f = 1
+
+    timer = Timer()
+    for it in range(max_iters):
+        # each newly visited member increments its hyperedges' counters
+        msgs = hg.vertex_prop(
+            frontier, message=F.lit(1), combiner="sum", frontier_size=n_f
+        )
+        cnt_h = materialize(
+            cnt_h.join(msgs, "id", "left").select(
+                "id", (F.col("cnt") + F.coalesce("msg", F.lit(0))).alias("cnt")
+            ),
+            cnt_h,
+        )
+        fired = (
+            cnt_h.join(deg_h.withColumnRenamed("deg", "card"), "id")
+            .where(F.col("cnt") == F.col("card"))
+            .join(vis_h, "id", "left_anti")
+            .select("id", F.lit(it + 1).alias("dist"))
+        )
+        vis_h = materialize(vis_h.unionAll(fired), vis_h)
+        n_fired = fired.count()
+        if n_fired == 0:
+            break
+        msgs = hg.hyperedge_prop(
+            vis_h.where(F.col("dist") == it + 1).select("id"),
+            combiner="min",
+            frontier_size=n_fired,
+        )
+        new_v = msgs.join(vis_v, "id", "left_anti").select(
+            "id", F.lit(it + 1).alias("dist")
+        )
+        vis_v = materialize(vis_v.unionAll(new_v), vis_v)
+        frontier = vis_v.where(F.col("dist") == it + 1).select("id")
+        n_f = frontier.count()
+        if metrics is not None:
+            metrics.record(it, frontier=n_f, wall_s=timer.lap())
+        if n_f == 0:
+            break
+    return vis_v.select(F.lit("v").alias("kind"), "id", "dist").unionAll(
+        vis_h.select(F.lit("h").alias("kind"), "id", "dist")
+    )

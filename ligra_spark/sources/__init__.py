@@ -4,7 +4,12 @@ from ligra_spark.sources.adjacency import (
     read_snap_graph,
     write_binary_graph,
 )
-from ligra_spark.sources.events import edges_from_events, event_type_graph
+from ligra_spark.sources.events import (
+    edges_from_events,
+    event_type_graph,
+    hyper_incidence,
+    hyper_incidence_directed,
+)
 from ligra_spark.sources.transcripts import (
     derive_edges,
     generate_transcripts,
@@ -15,6 +20,8 @@ __all__ = [
     "derive_edges",
     "edges_from_events",
     "event_type_graph",
+    "hyper_incidence",
+    "hyper_incidence_directed",
     "generate_transcripts",
     "read_adjacency_graph",
     "read_binary_graph",

@@ -108,3 +108,53 @@ WITH type_ids AS (
 SELECT DISTINCT a.type_id AS src, b.type_id AS dst
 FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.type_id < b.type_id
 """
+
+
+def hyper_incidence(
+    events: DataFrame, m: int = 64, groups: int = 256, keep: int = 12
+) -> DataFrame:
+    """``(v, h)``: hypergraph incidence for the hygra apps — hyperedge
+    ``h`` = a user cohort (``user_id % groups``, offset past the vertex
+    id space), members = the cohort's event residues mod ``m``,
+    deterministically thinned to ~``keep/101`` of the memberships. At
+    the test scales this yields hyperedges of ~5 members over 64
+    vertices with nontrivial connectivity/core structure. Pure integer
+    arithmetic, so DuckDB derives the identical incidence."""
+    return (
+        events.select(
+            (F.col("event_id") % m).alias("v"),
+            (F.lit(m) + F.col("user_id") % groups).alias("h"),
+        )
+        .where(
+            (F.col("v") * 31 + F.col("h") - m) % 101 < keep
+        )
+        .distinct()
+    )
+
+
+HYPER_INCIDENCE_SQL = """
+  SELECT DISTINCT event_id % 64 AS v, 64 + user_id % 256 AS h
+  FROM events
+  WHERE ((event_id % 64) * 31 + user_id % 256) % 101 < 12
+"""
+
+
+def hyper_incidence_directed(
+    events: DataFrame, m: int = 64, groups: int = 256, keep: int = 12
+) -> DataFrame:
+    """``(v, h, d)``: directed-hypergraph variant of
+    :func:`hyper_incidence` — each membership becomes a tail arc
+    (``d = 0``, v→h) or head arc (``d = 1``, h→v) by parity of
+    ``v + h``, giving every hyperedge distinct in/out vertex sets (the
+    shape HyperBPath.C's all-tails-visited firing rule requires)."""
+    return hyper_incidence(events, m, groups, keep).withColumn(
+        "d", ((F.col("v") + F.col("h")) % 2).cast("int")
+    )
+
+
+HYPER_INCIDENCE_DIRECTED_SQL = """
+  SELECT v, h, CAST((v + h) % 2 AS INT) AS d
+  FROM (SELECT DISTINCT event_id % 64 AS v, 64 + user_id % 256 AS h
+        FROM events
+        WHERE ((event_id % 64) * 31 + user_id % 256) % 101 < 12)
+"""
