@@ -69,9 +69,13 @@ from ligra_spark.graph import Graph
 from ligra_spark.sources.events import (
     EDGES_FROM_EVENTS_SQL,
     EVENT_TYPE_GRAPH_SQL,
+    HYPER_INCIDENCE_DIRECTED_SQL,
+    HYPER_INCIDENCE_SQL,
     MOD_GRAPH_SQL,
     edges_from_events,
     event_type_graph,
+    hyper_incidence,
+    hyper_incidence_directed,
     mod_graph_edges,
 )
 
@@ -1338,6 +1342,271 @@ GROUP BY c_mktsegment
 
 
 # --------------------------------------------------------------------------
+# hypergraph family (apps/hyper/) over the events-derived incidence
+# --------------------------------------------------------------------------
+
+def _hyper(spark, sf_dir, directed=False, weighted=False):
+    from ligra_spark.hypergraph import Hypergraph
+
+    ev = _events(spark, sf_dir)
+    inc = hyper_incidence_directed(ev) if directed else hyper_incidence(ev)
+    if weighted:
+        inc = inc.withColumn(
+            "w", ((F.col("v") + 2 * F.col("h")) % 9 + 1).cast("double")
+        )
+    return Hypergraph(inc, directed=directed, num_partitions=4)
+
+
+def _hyper_root(hg):
+    return hg.vertices.agg(F.min("id")).first()[0]
+
+
+def q_hyper_bfs_events(spark, sf_dir):
+    """Alternating half-round hypergraph BFS (HyperBFS.C:41-66) from
+    the min vertex; vertex layers even dist, hyperedge layers odd. The
+    oracle is plain BFS over the bipartite arcs (the alternation IS
+    bipartite parity)."""
+    from ligra_spark.algorithms import hyper_bfs
+
+    hg = _hyper(spark, sf_dir)
+    return hyper_bfs(hg, _hyper_root(hg))
+
+
+def q_hyper_cc_events(spark, sf_dir):
+    """Hypergraph components (HyperCC.C:52-79): min-vertex-id label
+    fixpoint across both layers, vs a reachability-closure oracle."""
+    from ligra_spark.algorithms import hyper_cc
+
+    return hyper_cc(_hyper(spark, sf_dir))
+
+
+def q_hyper_pagerank_events(spark, sf_dir):
+    """10 rounds of hypergraph PageRank (HyperPageRank.C:84-113): mass
+    flows v→h (rebuild) then h→v (damped gather) each round; both
+    layers' masses are checked against the unrolled SQL replay."""
+    from ligra_spark.algorithms import hyper_pagerank
+
+    return hyper_pagerank(_hyper(spark, sf_dir), max_iters=10).select(
+        "kind", "id", F.round("p", 9).alias("p")
+    )
+
+
+def q_hyper_sssp_events(spark, sf_dir):
+    """Alternating Bellman-Ford over weighted incidences
+    (HyperSSSP.C:60-96), w = (v+2h)%9+1, vs a recursive-relaxation
+    oracle on the bipartite weighted arcs."""
+    from ligra_spark.algorithms import hyper_sssp
+
+    hg = _hyper(spark, sf_dir, weighted=True)
+    return hyper_sssp(hg, _hyper_root(hg))
+
+
+HYPER_BFS_SQL = f"""
+WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
+arcs AS (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
+root AS (SELECT MIN(v) AS id FROM base),
+r(id, dist) AS (
+  SELECT id, 0 FROM root
+  UNION
+  SELECT arcs.b, r.dist + 1 FROM r JOIN arcs ON arcs.a = r.id WHERE r.dist < 200
+),
+d AS (SELECT id, MIN(dist) AS dist FROM r GROUP BY id)
+SELECT CASE WHEN id < 64 THEN 'v' ELSE 'h' END AS kind, id,
+       CAST(dist AS INT) AS dist
+FROM d
+"""
+
+HYPER_CC_SQL = f"""
+WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
+arcs AS (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
+nodes AS (SELECT DISTINCT a FROM arcs),
+r(x, y) AS (
+  SELECT a, a FROM nodes
+  UNION
+  SELECT r.x, arcs.b FROM r JOIN arcs ON arcs.a = r.y
+)
+SELECT CASE WHEN x < 64 THEN 'v' ELSE 'h' END AS kind, x AS id,
+       MIN(y) AS comp
+FROM r WHERE y < 64 GROUP BY x
+"""
+
+
+def _hyper_pagerank_sql(iters: int = 10) -> str:
+    """Unrolled replay of hyper_pagerank: per round pH = Σ members'
+    p/deg(v), then pV = 0.85·Σ incident pH/deg(h) + (1-0.85)/nv.
+    Damping constants are written as the same IEEE ops the Python side
+    performs ((1-0.85) differs from the 0.15 literal by 1 ulp)."""
+    parts = [f"""WITH base AS ({HYPER_INCIDENCE_SQL}),
+dv AS MATERIALIZED (SELECT v AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM base GROUP BY v),
+dh AS MATERIALIZED (SELECT h AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM base GROUP BY h),
+nvq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nv FROM dv),
+p0 AS (SELECT id, CAST(1 AS DOUBLE) / (SELECT nv FROM nvq) AS p FROM dv)"""]
+    for i in range(iters):
+        parts.append(f"""
+ph{i} AS MATERIALIZED (
+  SELECT b.h AS id, SUM(p.p / dv.d) AS p
+  FROM base b JOIN p{i} p ON b.v = p.id JOIN dv ON dv.id = b.v
+  GROUP BY b.h),
+p{i + 1} AS MATERIALIZED (
+  SELECT dv.id,
+         CAST(0.85 AS DOUBLE) * COALESCE(g.g, CAST(0 AS DOUBLE))
+           + (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT nv FROM nvq) AS p
+  FROM dv
+  LEFT JOIN (SELECT b.v, SUM(ph.p / dh.d) AS g
+             FROM base b JOIN ph{i} ph ON b.h = ph.id JOIN dh ON dh.id = b.h
+             GROUP BY b.v) g ON g.v = dv.id)""")
+    parts.append(f"""
+outp AS (SELECT 'v' AS kind, id, p FROM p{iters}
+         UNION ALL SELECT 'h', id, p FROM ph{iters - 1})""")
+    return ",\n".join(parts) + "\nSELECT kind, id, ROUND(p, 9) AS p FROM outp"
+
+
+HYPER_PAGERANK_SQL = _hyper_pagerank_sql(10)
+
+def q_hyper_kcore_events(spark, sf_dir):
+    """Hypergraph peeling (HyperKCore.C:87-137): a hyperedge dies when
+    ANY member dies; the k-phase removes vertices with < k alive
+    incident hyperedges (core = k-1). The oracle peels one min-id
+    vertex per recursive step — confluent with the phase-synchronous
+    parallel schedule, same argument as the graph k-core."""
+    from ligra_spark.algorithms import hyper_kcore
+
+    return hyper_kcore(_hyper(spark, sf_dir))
+
+
+HYPER_KCORE_SQL = f"""
+WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
+hm AS (SELECT h AS id, list(v) AS vs FROM base GROUP BY h),
+hmm AS (SELECT map_from_entries(list(struct_pack(k := id, v := vs))) AS m FROM hm),
+rm AS (SELECT v AS id, list(h) AS hs FROM base GROUP BY v),
+rmm AS (SELECT map_from_entries(list(struct_pack(k := id, v := hs))) AS m,
+               COUNT(*) AS n FROM rm),
+g(i, k, remaining, done_ids, done_cores) AS (
+  SELECT 0, 1, (SELECT list(id ORDER BY id) FROM rm),
+         CAST([] AS BIGINT[]), CAST([] AS INT[])
+  FROM rmm
+  UNION ALL
+  SELECT g.i + 1,
+         CASE WHEN victim.id IS NULL THEN g.k + 1 ELSE g.k END,
+         CASE WHEN victim.id IS NULL THEN g.remaining
+              ELSE list_filter(g.remaining, x -> x <> victim.id) END,
+         CASE WHEN victim.id IS NULL THEN g.done_ids
+              ELSE list_append(g.done_ids, victim.id) END,
+         CASE WHEN victim.id IS NULL THEN g.done_cores
+              ELSE list_append(g.done_cores, CAST(g.k - 1 AS INT)) END
+  FROM g, hmm, rmm,
+  LATERAL (
+    SELECT MIN(r2) AS id FROM (
+      SELECT t.r AS r2,
+             COUNT(*) FILTER (WHERE
+               len(list_intersect(map_extract(hmm.m, u.hh)[1], g.remaining))
+               = len(map_extract(hmm.m, u.hh)[1])) AS dg
+      FROM unnest(g.remaining) AS t(r),
+           unnest(map_extract(rmm.m, t.r)[1]) AS u(hh)
+      GROUP BY t.r) q
+    WHERE dg < g.k
+  ) victim
+  WHERE len(g.remaining) > 0
+),
+final AS (SELECT done_ids, done_cores FROM g WHERE len(g.remaining) = 0
+          ORDER BY i LIMIT 1)
+SELECT unnest(done_ids) AS id, unnest(done_cores) AS core FROM final
+"""
+
+HYPER_SSSP_SQL = f"""
+WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
+arcs AS (SELECT v AS a, h AS b, CAST((v + 2 * h) % 9 + 1 AS DOUBLE) AS w FROM base
+         UNION ALL
+         SELECT h, v, CAST((v + 2 * h) % 9 + 1 AS DOUBLE) FROM base),
+root AS (SELECT MIN(v) AS id FROM base),
+r(id, dist) AS (
+  SELECT id, CAST(0 AS DOUBLE) FROM root
+  UNION
+  SELECT arcs.b, r.dist + arcs.w FROM r JOIN arcs ON arcs.a = r.id
+  WHERE r.dist < 150
+)
+SELECT CASE WHEN id < 64 THEN 'v' ELSE 'h' END AS kind, id,
+       MIN(dist) AS dist
+FROM r GROUP BY id
+"""
+
+
+def q_hyper_bpath_events(spark, sf_dir):
+    """B-path reachability on the DIRECTED incidence
+    (HyperBPath.C:27-80): a hyperedge fires only when ALL tail
+    vertices are visited, then visits its head vertices. Source rule
+    (mirrored in SQL): the min vertex that is sole tail of >= 2
+    hyperedges, else of >= 1, else the min tail — picked so firing
+    actually cascades on the thinned incidence."""
+    from ligra_spark.algorithms import hyper_bpath
+
+    hg = _hyper(spark, sf_dir, directed=True)
+    tails = hg.fwd.edges_by_src
+    singles = (
+        tails.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("src").alias("v"))
+        .where(F.col("c") == 1)
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    row = singles.where(F.col("nh") >= 2).agg(F.min("v")).first()
+    root = row[0] if row and row[0] is not None else None
+    if root is None:
+        row = singles.agg(F.min("v")).first()
+        root = row[0] if row and row[0] is not None else None
+    if root is None:
+        root = tails.agg(F.min("src")).first()[0]
+    return hyper_bpath(hg, root)
+
+
+def _hyper_bpath_sql(rounds: int = 64) -> str:
+    """Unrolled B-path replay: visited-vertex and fired-hyperedge
+    tables accumulate; a round with nothing fired is a no-op, so
+    over-unrolling past the fixpoint is exact (<= nv productive
+    rounds)."""
+    parts = [f"""WITH base AS ({HYPER_INCIDENCE_DIRECTED_SQL}),
+tails AS MATERIALIZED (SELECT v, h FROM base WHERE d = 0),
+heads AS MATERIALIZED (SELECT v, h FROM base WHERE d = 1),
+tc AS MATERIALIZED (SELECT h, COUNT(*) AS c FROM tails GROUP BY h),
+singles AS MATERIALIZED (
+  SELECT v, COUNT(*) AS nh
+  FROM (SELECT h, COUNT(*) AS c, MIN(v) AS v FROM tails GROUP BY h)
+  WHERE c = 1 GROUP BY v),
+root AS (SELECT COALESCE(
+  (SELECT MIN(v) FROM singles WHERE nh >= 2),
+  (SELECT MIN(v) FROM singles),
+  (SELECT MIN(v) FROM tails)) AS id),
+vv0 AS (SELECT id, 0 AS dist FROM root),
+fh0 AS (SELECT CAST(NULL AS BIGINT) AS id, 0 AS dist WHERE 1 = 0)"""]
+    for i in range(rounds):
+        parts.append(f"""
+fired{i} AS MATERIALIZED (
+  SELECT tc.h AS id, {i + 1} AS dist
+  FROM tc JOIN (SELECT t.h, COUNT(*) AS c
+                FROM tails t JOIN vv{i} x ON t.v = x.id GROUP BY t.h) vc
+          ON vc.h = tc.h AND vc.c = tc.c
+  WHERE tc.h NOT IN (SELECT id FROM fh{i} WHERE id IS NOT NULL)),
+fh{i + 1} AS MATERIALIZED (SELECT * FROM fh{i} UNION ALL SELECT * FROM fired{i}),
+vv{i + 1} AS MATERIALIZED (
+  SELECT * FROM vv{i}
+  UNION ALL
+  SELECT DISTINCT hd.v AS id, {i + 1} AS dist
+  FROM heads hd JOIN fired{i} f ON hd.h = f.id
+  WHERE hd.v NOT IN (SELECT id FROM vv{i}))""")
+    parts.append(f"""
+outp AS (SELECT 'v' AS kind, id, dist FROM vv{rounds}
+         UNION ALL
+         SELECT 'h', id, dist FROM fh{rounds} WHERE id IS NOT NULL)""")
+    return (
+        ",\n".join(parts)
+        + "\nSELECT kind, id, CAST(dist AS INT) AS dist FROM outp"
+    )
+
+
+HYPER_BPATH_SQL = _hyper_bpath_sql()
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1366,6 +1635,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_acl_mod": q_ppr_acl_mod,
     "nibble_mod": q_nibble_mod,
     "loglog_ecc_mod": q_loglog_ecc_mod,
+    # hypergraph family (apps/hyper/)
+    "hyper_bfs_events": q_hyper_bfs_events,
+    "hyper_cc_events": q_hyper_cc_events,
+    "hyper_pagerank_events": q_hyper_pagerank_events,
+    "hyper_sssp_events": q_hyper_sssp_events,
+    "hyper_kcore_events": q_hyper_kcore_events,
+    "hyper_bpath_events": q_hyper_bpath_events,
     "tri_vertex_mod": q_tri_vertex_mod,
     "pagerank_delta_iter1_events": q_pagerank_delta_iter1_events,
     "pagerank_csr_iter1_events": q_pagerank_csr_iter1_events,
@@ -1434,6 +1710,12 @@ ORACLE_SQL: dict[str, str] = {
     "nibble_mod": NIBBLE_MOD_SQL,
     "fm_ecc_mod": FM_ECC_MOD_SQL,
     "loglog_ecc_mod": LOGLOG_ECC_MOD_SQL,
+    "hyper_bfs_events": HYPER_BFS_SQL,
+    "hyper_cc_events": HYPER_CC_SQL,
+    "hyper_pagerank_events": HYPER_PAGERANK_SQL,
+    "hyper_sssp_events": HYPER_SSSP_SQL,
+    "hyper_kcore_events": HYPER_KCORE_SQL,
+    "hyper_bpath_events": HYPER_BPATH_SQL,
     "lsh_topk": LSH_TOPK_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
