@@ -29,6 +29,7 @@ from ligra_spark.algorithms.setcover import set_cover
 from ligra_spark.algorithms.local import nibble, ppr_acl
 from ligra_spark.algorithms.radii import kbfs_exact
 from ligra_spark.algorithms.hyper import (
+    hyper_bc,
     hyper_bfs,
     hyper_bpath,
     hyper_cc,

@@ -369,3 +369,115 @@ def hyper_bpath(
     return vis_v.select(F.lit("v").alias("kind"), "id", "dist").unionAll(
         vis_h.select(F.lit("h").alias("kind"), "id", "dist")
     )
+
+
+def hyper_bc(
+    hg: Hypergraph,
+    source: int,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(kind, id, paths, dep)`` — hypergraph betweenness from one
+    source (HyperBC.C:105-178). Forward: level-synchronous path
+    counting alternating v→h→v, sigma accumulating only into
+    unvisited targets. Backward: vertex levels descend by 2; each
+    processed vertex adds 1 to its own dependency then pushes
+    ``dep/sigma`` to its level-below hyperedges, which push
+    ``dep·sigma(target)`` to their level-below vertices (the
+    reference's raw un-normalized formulation, BC_Back_VtoH /
+    BC_Back_HtoV). The deepest dead-end hyperedge level is skipped
+    exactly as HyperBC.C:146-148 drops it."""
+    spark = hg.spark
+    sig_v = materialize(
+        _seed_df(spark, source).select(
+            "id", F.lit(1.0).alias("sigma"), F.lit(0).alias("dist")
+        )
+    )
+    sig_h = spark.createDataFrame([], "id long, sigma double, dist int")
+    frontier = sig_v
+    n_f = 1
+    timer = Timer()
+    max_vl = 0
+    for it in range(10_000):
+        msgs = hg.vertex_prop(
+            frontier.select("id", "sigma"),
+            message=F.col("sigma"),
+            combiner="sum",
+            frontier_size=n_f,
+        )
+        new_h = msgs.join(sig_h, "id", "left_anti").select(
+            "id", F.col("msg").alias("sigma"), F.lit(2 * it + 1).alias("dist")
+        )
+        sig_h = materialize(sig_h.unionAll(new_h), sig_h)
+        frontier = sig_h.where(F.col("dist") == 2 * it + 1)
+        n_f = frontier.count()
+        if n_f == 0:
+            break
+        msgs = hg.hyperedge_prop(
+            frontier.select("id", "sigma"),
+            message=F.col("sigma"),
+            combiner="sum",
+            frontier_size=n_f,
+        )
+        new_v = msgs.join(sig_v, "id", "left_anti").select(
+            "id", F.col("msg").alias("sigma"), F.lit(2 * it + 2).alias("dist")
+        )
+        sig_v = materialize(sig_v.unionAll(new_v), sig_v)
+        frontier = sig_v.where(F.col("dist") == 2 * it + 2)
+        n_f = frontier.count()
+        if metrics is not None:
+            metrics.record(it, frontier=n_f, wall_s=timer.lap())
+        if n_f == 0:
+            break
+        max_vl = 2 * it + 2
+
+    dep_v = materialize(
+        sig_v.select("id", F.lit(0.0).alias("dep"))
+    )
+    dep_h = materialize(sig_h.select("id", F.lit(0.0).alias("dep")))
+    for lv in range(max_vl, 1, -2):
+        # vertex level lv: +1 then push dep/sigma to hyperedge level lv-1
+        fr_v = (
+            sig_v.where(F.col("dist") == lv)
+            .join(dep_v, "id")
+            .select("id", (F.col("dep") + 1.0).alias("dep"), "sigma")
+        )
+        dep_v = materialize(
+            dep_v.join(fr_v.select("id", F.col("dep").alias("d2")), "id", "left")
+            .select("id", F.coalesce("d2", "dep").alias("dep")),
+            dep_v,
+        )
+        push = hg.vertex_prop(
+            fr_v.select("id", (F.col("dep") / F.col("sigma")).alias("share")),
+            message=F.col("share"),
+            combiner="sum",
+        )
+        tgt_h = sig_h.where(F.col("dist") == lv - 1).select("id")
+        dep_h = materialize(
+            dep_h.join(push.join(tgt_h, "id").select("id", "msg"), "id", "left")
+            .select("id", (F.col("dep") + F.coalesce("msg", F.lit(0.0))).alias("dep")),
+            dep_h,
+        )
+        # hyperedge level lv-1 pushes dep * sigma(target) to vertex level lv-2
+        fr_h = sig_h.where(F.col("dist") == lv - 1).join(dep_h, "id")
+        push = hg.hyperedge_prop(
+            fr_h.select("id", F.col("dep").alias("share")),
+            message=F.col("share"),
+            combiner="sum",
+        )
+        tgt_v = sig_v.where(F.col("dist") == lv - 2)
+        gain = (
+            push.join(tgt_v.select("id", "sigma"), "id")
+            .select("id", (F.col("msg") * F.col("sigma")).alias("g"))
+        )
+        dep_v = materialize(
+            dep_v.join(gain, "id", "left")
+            .select("id", (F.col("dep") + F.coalesce("g", F.lit(0.0))).alias("dep")),
+            dep_v,
+        )
+    out_v = sig_v.join(dep_v, "id").select(
+        F.lit("v").alias("kind"), "id", F.col("sigma").alias("paths"), "dep"
+    )
+    out_h = sig_h.join(dep_h, "id").select(
+        F.lit("h").alias("kind"), "id", F.col("sigma").alias("paths"), "dep"
+    )
+    return out_v.unionAll(out_h)

@@ -484,6 +484,16 @@ SELECT id, CAST(MAX(dd) AS INT) AS radius FROM d GROUP BY id
 """
 
 
+def q_kbfs_ecc_mod(spark, sf_dir):
+    """Exact eccentricity via batched 64-bit multi-BFS
+    (apps/eccentricity/kBFS-Exact.C) — on the <= 64-vertex mod graph
+    this equals the k=64 radii estimate, so it shares the
+    all-pairs-BFS oracle; agreement verifies the batching loop."""
+    from ligra_spark.algorithms import kbfs_exact
+
+    return kbfs_exact(_mod_graph(spark, sf_dir))
+
+
 def q_tri_vertex_mod(spark, sf_dir):
     """Per-vertex incident triangle counts (Triangle.C per-vertex form)
     on the symmetrized mod-graph."""
@@ -1531,6 +1541,106 @@ FROM r GROUP BY id
 """
 
 
+def q_hyper_bc_events(spark, sf_dir):
+    """Hypergraph betweenness from the min vertex (HyperBC.C:105-178):
+    forward alternating level/sigma counting, backward raw dependency
+    accumulation with the reference's +1-per-processed-vertex
+    formulation. Dep rounded to 6dp on both sides (summation-order
+    float drift)."""
+    from ligra_spark.algorithms import hyper_bc
+
+    hg = _hyper(spark, sf_dir)
+    return hyper_bc(hg, _hyper_root(hg)).select(
+        "kind", "id", "paths", F.round("dep", 6).alias("dep")
+    )
+
+
+def _hyper_bc_sql(fwd_rounds: int = 48, back_steps: int = 24) -> str:
+    """Unrolled HyperBC replay: recursive-CTE BFS dist; sigma built
+    level-by-level (a node at dist k sums its dist-(k-1) in-arcs);
+    backward vertex levels descend maxvl, maxvl-2, ..., 2, each adding
+    1, pushing dep/sigma to the hyperedge level below, which pushes
+    dep·sigma(target) down — HyperBC.C's raw formulation. Steps past
+    the real level count are no-ops (empty level selections), so the
+    static unroll is exact for any diameter <= the bounds."""
+    parts = [f"""WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
+arcs AS (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
+root AS (SELECT MIN(v) AS id FROM base),
+r(id, dist) AS (
+  SELECT id, 0 FROM root
+  UNION
+  SELECT arcs.b, r.dist + 1 FROM r JOIN arcs ON arcs.a = r.id WHERE r.dist < 200
+),
+d AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM r GROUP BY id),
+m AS (SELECT MAX(dist) AS maxvl FROM d WHERE id < 64),
+sg0 AS (SELECT id, CAST(1 AS DOUBLE) AS sig FROM root)"""]
+    for k in range(1, fwd_rounds + 1):
+        parts.append(f"""
+sg{k} AS MATERIALIZED (
+  SELECT * FROM sg{k - 1}
+  UNION ALL
+  SELECT arcs.b AS id, SUM(s.sig) AS sig
+  FROM sg{k - 1} s JOIN d ds ON ds.id = s.id AND ds.dist = {k - 1}
+  JOIN arcs ON arcs.a = s.id
+  JOIN d dt ON dt.id = arcs.b AND dt.dist = {k}
+  GROUP BY arcs.b)""")
+    S = f"sg{fwd_rounds}"
+    parts.append("""
+dh0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dep WHERE 1=0),
+dv0 AS (SELECT CAST(NULL AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dep WHERE 1=0)""")
+    for i in range(back_steps):
+        parts.append(f"""
+lvl{i} AS (SELECT maxvl - {2 * i} AS L FROM m),
+dvl{i} AS MATERIALIZED (
+  SELECT dv.id,
+         sv.sig * COALESCE((SELECT SUM(dh.dep) FROM base b
+                            JOIN dh{i} dh ON dh.id = b.h
+                            JOIN d dhh ON dhh.id = b.h
+                              AND dhh.dist = (SELECT L FROM lvl{i}) + 1
+                            WHERE b.v = dv.id), CAST(0 AS DOUBLE))
+           + CAST(1 AS DOUBLE) AS dep
+  FROM d dv JOIN {S} sv ON sv.id = dv.id
+  WHERE dv.id < 64 AND dv.dist = (SELECT L FROM lvl{i})
+    AND (SELECT L FROM lvl{i}) >= 2),
+dv{i + 1} AS MATERIALIZED (SELECT * FROM dv{i} UNION ALL SELECT * FROM dvl{i}),
+dh{i + 1} AS MATERIALIZED (
+  SELECT * FROM dh{i}
+  UNION ALL
+  SELECT b.h AS id, SUM(dvl.dep / sv.sig) AS dep
+  FROM dvl{i} dvl JOIN base b ON b.v = dvl.id
+  JOIN d dhh ON dhh.id = b.h AND dhh.dist = (SELECT L FROM lvl{i}) - 1
+  JOIN {S} sv ON sv.id = dvl.id
+  GROUP BY b.h)""")
+    DH, DV = f"dh{back_steps}", f"dv{back_steps}"
+    parts.append(f"""
+srcdep AS (
+  SELECT root.id,
+         COALESCE((SELECT SUM(dh.dep) FROM base b
+                   JOIN {DH} dh ON dh.id = b.h
+                   JOIN d dhh ON dhh.id = b.h AND dhh.dist = 1
+                   WHERE b.v = root.id), CAST(0 AS DOUBLE)) AS dep
+  FROM root),
+outp AS (
+  SELECT 'v' AS kind, d.id, s.sig AS paths,
+         COALESCE(dv.dep, sd.dep, CAST(0 AS DOUBLE)) AS dep
+  FROM d JOIN {S} s ON s.id = d.id
+  LEFT JOIN {DV} dv ON dv.id = d.id
+  LEFT JOIN srcdep sd ON sd.id = d.id
+  WHERE d.id < 64
+  UNION ALL
+  SELECT 'h', d.id, s.sig, COALESCE(dh.dep, CAST(0 AS DOUBLE))
+  FROM d JOIN {S} s ON s.id = d.id
+  LEFT JOIN {DH} dh ON dh.id = d.id
+  WHERE d.id >= 64)""")
+    return (
+        ",\n".join(parts)
+        + "\nSELECT kind, id, paths, ROUND(dep, 6) AS dep FROM outp"
+    )
+
+
+HYPER_BC_SQL = _hyper_bc_sql()
+
+
 def q_hyper_bpath_events(spark, sf_dir):
     """B-path reachability on the DIRECTED incidence
     (HyperBPath.C:27-80): a hyperedge fires only when ALL tail
@@ -1629,6 +1739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kcore_bucketed_mod": q_kcore_bucketed_mod,
     "mis_mod": q_mis_mod,
     "radii_mod": q_radii_mod,
+    "kbfs_ecc_mod": q_kbfs_ecc_mod,
     "fm_ecc_mod": q_fm_ecc_mod,
     "cf_iter1_mod": q_cf_iter1_mod,
     "setcover_mod": q_setcover_mod,
@@ -1642,6 +1753,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyper_sssp_events": q_hyper_sssp_events,
     "hyper_kcore_events": q_hyper_kcore_events,
     "hyper_bpath_events": q_hyper_bpath_events,
+    "hyper_bc_events": q_hyper_bc_events,
     "tri_vertex_mod": q_tri_vertex_mod,
     "pagerank_delta_iter1_events": q_pagerank_delta_iter1_events,
     "pagerank_csr_iter1_events": q_pagerank_csr_iter1_events,
@@ -1687,6 +1799,7 @@ ORACLE_SQL: dict[str, str] = {
     "cf_iter1_mod": CF_ITER1_MOD_SQL,
     "mis_mod": MIS_MOD_SQL,
     "radii_mod": RADII_MOD_SQL,
+    "kbfs_ecc_mod": RADII_MOD_SQL,
     "tri_vertex_mod": TRI_VERTEX_MOD_SQL,
     "pagerank_delta_iter1_events": PAGERANK_ITER1_SQL,
     "pagerank_csr_iter1_events": PAGERANK_ITER1_SQL,
@@ -1716,6 +1829,7 @@ ORACLE_SQL: dict[str, str] = {
     "hyper_sssp_events": HYPER_SSSP_SQL,
     "hyper_kcore_events": HYPER_KCORE_SQL,
     "hyper_bpath_events": HYPER_BPATH_SQL,
+    "hyper_bc_events": HYPER_BC_SQL,
     "lsh_topk": LSH_TOPK_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,

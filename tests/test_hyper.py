@@ -167,3 +167,53 @@ def test_hyper_bpath(spark):
         ("h", 100): 2, ("v", 2): 2,     # fires once both 0,1 visited
         ("h", 101): 3, ("v", 3): 3,     # chain continues
     }
+
+
+def test_hyper_bc(hg):
+    from ligra_spark.algorithms import hyper_bc
+
+    vh, hv = _maps(INC)
+    src = 0
+    sigv, sigh, lv, lh = {src: 1.0}, {}, {src: 0}, {}
+    frv, rnd, maxvl = {src}, 0, 0
+    while True:
+        newh = defaultdict(float)
+        for v in frv:
+            for h in vh[v]:
+                if h not in lh:
+                    newh[h] += sigv[v]
+        for h in newh:
+            lh[h], sigh[h] = 2 * rnd + 1, newh[h]
+        if not newh:
+            break
+        newv = defaultdict(float)
+        for h in newh:
+            for v in hv[h]:
+                if v not in lv:
+                    newv[v] += sigh[h]
+        for v in newv:
+            lv[v], sigv[v] = 2 * rnd + 2, newv[v]
+        if not newv:
+            break
+        maxvl, frv, rnd = 2 * rnd + 2, set(newv), rnd + 1
+    depv = {v: 0.0 for v in lv}
+    deph = {h: 0.0 for h in lh}
+    for L in range(maxvl, 1, -2):
+        fr = [v for v in lv if lv[v] == L]
+        for v in fr:
+            depv[v] += 1.0
+        for v in fr:
+            for h in vh[v]:
+                if lh.get(h) == L - 1:
+                    deph[h] += depv[v] / sigv[v]
+        for h in [x for x in lh if lh[x] == L - 1]:
+            for v in hv[h]:
+                if lv.get(v) == L - 2:
+                    depv[v] += deph[h] * sigv[v]
+    got = {(r.kind, r.id): (r.paths, r.dep) for r in hyper_bc(hg, src).collect()}
+    want = {("v", v): (sigv[v], depv[v]) for v in lv}
+    want.update({("h", h): (sigh[h], deph[h]) for h in lh})
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-9
+        assert abs(got[k][1] - want[k][1]) < 1e-9
