@@ -481,3 +481,82 @@ def hyper_bc(
         F.lit("h").alias("kind"), "id", F.col("sigma").alias("paths"), "dep"
     )
     return out_v.unionAll(out_h)
+
+
+def hyper_mis(
+    hg: Hypergraph,
+    max_rounds: int = 10_000,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(id, in_set BOOLEAN)`` — maximal independent set in the
+    hypergraph sense (HyperMIS.C:119-160, the Beame-Luby scheme): no
+    hyperedge may have ALL members in the set. Per round, undecided
+    vertices self-sample; fully-sampled hyperedges release their
+    samples (Check_Independence + MIS_Reset_Neighbors); survivors join
+    the set and are packed out of the incidence
+    (hyperedgeFilterNgh); hyperedges left with one member force it OUT
+    (Filter_Hyperedges). The reference samples by ``hashInt(i+offset)
+    % 3`` and notes the probability is an implementation choice; we
+    use the Knuth multiplicative hash ``((i+offset)·2654435761) mod
+    2^32 mod 3`` — expressible identically in Spark and ANSI SQL
+    (64-bit wrapping multiply is not) — so runs are deterministic and
+    oracle-replayable. The incidence mutation is a re-materialized
+    filtered DataFrame each round (same asymptotics as the
+    reference's in-place pack, no mutation)."""
+    spark = hg.spark
+    flags = materialize(hg.vertices.select("id", F.lit(0).alias("flag")))
+    live = materialize(hg.fwd.edges_by_src.select("src", "dst"))
+    offset = 0
+
+    timer = Timer()
+    for it in range(max_rounds):
+        frontier = flags.where(F.col("flag") == 0)
+        n_f = frontier.count()
+        if n_f == 0:
+            break
+        sampled = frontier.where(
+            ((F.col("id") + F.lit(offset)) * F.lit(2654435761))
+            % F.lit(4294967296) % 3 == 0
+        ).select(F.col("id").alias("src"))
+        offset += n_f
+        card = live.groupBy("dst").agg(F.count(F.lit(1)).alias("card"))
+        scnt = (
+            live.join(sampled, "src")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        full = card.join(scnt, "dst").where(F.col("c") == F.col("card")).select("dst")
+        resets = (
+            live.join(full, "dst").join(sampled, "src").select("src").distinct()
+        )
+        won = materialize(sampled.join(resets, "src", "left_anti"))
+        live_p = live.join(won, "src", "left_anti")
+        # hyperedges reduced to one member force it OUT (if undecided)
+        singles = (
+            live_p.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("c"), F.min("src").alias("u"))
+            .where(F.col("c") == 1)
+        )
+        flags = materialize(
+            flags.join(won.select(F.col("src").alias("id")).withColumn("_w", F.lit(1)), "id", "left")
+            .join(
+                singles.select(F.col("u").alias("id")).distinct()
+                .withColumn("_s", F.lit(1)),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.when(F.col("_w").isNotNull(), F.lit(2))
+                .when((F.col("_s").isNotNull()) & (F.col("flag") == 0), F.lit(1))
+                .otherwise(F.col("flag"))
+                .alias("flag"),
+            ),
+            flags,
+        )
+        live = materialize(
+            live_p.join(singles.select("dst"), "dst", "left_anti"), live
+        )
+        if metrics is not None:
+            metrics.record(it, frontier=n_f, wall_s=timer.lap())
+    return flags.select("id", (F.col("flag") >= 2).alias("in_set"))

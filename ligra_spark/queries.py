@@ -1541,6 +1541,64 @@ FROM r GROUP BY id
 """
 
 
+def q_hyper_mis_events(spark, sf_dir):
+    """Hypergraph MIS (HyperMIS.C:119-160, Beame-Luby rounds) with the
+    engine's portable deterministic sampling hash; the DuckDB oracle
+    replays the identical rounds (sample, release fully-sampled
+    hyperedges, pack winners, force singletons out)."""
+    from ligra_spark.algorithms import hyper_mis
+
+    return hyper_mis(_hyper(spark, sf_dir))
+
+
+def _hyper_mis_sql(rounds: int = 16) -> str:
+    """Unrolled HyperMIS replay. Rounds past convergence are no-ops
+    (empty frontier ⇒ empty sample ⇒ unchanged state; the offset
+    grows by zero), so a static unroll above the observed 5-6 round
+    convergence is exact."""
+    parts = [f"""WITH base AS ({HYPER_INCIDENCE_SQL}),
+f0 AS (SELECT DISTINCT v AS id, 0 AS flag FROM base),
+inc0 AS (SELECT v, h FROM base),
+off0 AS (SELECT 0 AS o)"""]
+    for i in range(rounds):
+        parts.append(f"""
+fr{i} AS MATERIALIZED (SELECT id FROM f{i} WHERE flag = 0),
+samp{i} AS MATERIALIZED (
+  SELECT id FROM fr{i}
+  WHERE ((id + (SELECT o FROM off{i})) * 2654435761) % 4294967296 % 3 = 0),
+card{i} AS (SELECT h, COUNT(*) AS c FROM inc{i} GROUP BY h),
+scnt{i} AS (SELECT i.h, COUNT(*) AS c FROM inc{i} i JOIN samp{i} s ON i.v = s.id
+            GROUP BY i.h),
+full{i} AS MATERIALIZED (
+  SELECT card{i}.h FROM card{i} JOIN scnt{i} ON card{i}.h = scnt{i}.h
+  AND card{i}.c = scnt{i}.c),
+won{i} AS MATERIALIZED (
+  SELECT id FROM samp{i}
+  WHERE id NOT IN (SELECT i.v FROM inc{i} i JOIN full{i} fl ON i.h = fl.h
+                   JOIN samp{i} s ON i.v = s.id)),
+incp{i} AS MATERIALIZED (
+  SELECT v, h FROM inc{i} WHERE v NOT IN (SELECT id FROM won{i})),
+sing{i} AS MATERIALIZED (
+  SELECT h, MIN(v) AS u FROM incp{i} GROUP BY h HAVING COUNT(*) = 1),
+f{i + 1} AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN id IN (SELECT id FROM won{i}) THEN 2
+              WHEN flag = 0 AND id IN (SELECT u FROM sing{i}) THEN 1
+              ELSE flag END AS flag
+  FROM f{i}),
+inc{i + 1} AS MATERIALIZED (
+  SELECT v, h FROM incp{i} WHERE h NOT IN (SELECT h FROM sing{i})),
+off{i + 1} AS (SELECT (SELECT o FROM off{i}) + (SELECT COUNT(*) FROM fr{i}) AS o)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, flag >= 2 AS in_set FROM f{rounds}"
+    )
+
+
+HYPER_MIS_SQL = _hyper_mis_sql()
+
+
 def q_hyper_bc_events(spark, sf_dir):
     """Hypergraph betweenness from the min vertex (HyperBC.C:105-178):
     forward alternating level/sigma counting, backward raw dependency
@@ -1754,6 +1812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyper_kcore_events": q_hyper_kcore_events,
     "hyper_bpath_events": q_hyper_bpath_events,
     "hyper_bc_events": q_hyper_bc_events,
+    "hyper_mis_events": q_hyper_mis_events,
     "tri_vertex_mod": q_tri_vertex_mod,
     "pagerank_delta_iter1_events": q_pagerank_delta_iter1_events,
     "pagerank_csr_iter1_events": q_pagerank_csr_iter1_events,
@@ -1830,6 +1889,7 @@ ORACLE_SQL: dict[str, str] = {
     "hyper_kcore_events": HYPER_KCORE_SQL,
     "hyper_bpath_events": HYPER_BPATH_SQL,
     "hyper_bc_events": HYPER_BC_SQL,
+    "hyper_mis_events": HYPER_MIS_SQL,
     "lsh_topk": LSH_TOPK_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,

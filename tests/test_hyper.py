@@ -217,3 +217,22 @@ def test_hyper_bc(hg):
     for k in want:
         assert abs(got[k][0] - want[k][0]) < 1e-9
         assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_hyper_mis(hg, spark):
+    from ligra_spark.algorithms import hyper_mis
+
+    vh, hv = _maps(INC)
+    got = {r.id: r.in_set for r in hyper_mis(hg).collect()}
+    assert set(got) == set(vh)
+    in_set = {v for v, b in got.items() if b}
+    # independence: no hyperedge fully inside the set
+    # (HyperMIS.C's commented checker, lines 162-168)
+    for h, mem in hv.items():
+        assert not mem <= in_set, f"hyperedge {h} violated"
+    # maximality: adding any OUT vertex must complete some hyperedge
+    for v, b in got.items():
+        if not b:
+            assert any(
+                mem - {v} <= in_set for mem in (hv[h] for h in vh[v])
+            ), f"vertex {v} could be added"
