@@ -26,7 +26,7 @@ __all__ = [
 from ligra_spark.algorithms.eccentricity import fm_ecc, loglog_ecc
 from ligra_spark.algorithms.cf import cf
 from ligra_spark.algorithms.setcover import set_cover
-from ligra_spark.algorithms.local import nibble, ppr_acl
+from ligra_spark.algorithms.local import heat_kernel, nibble, ppr_acl
 from ligra_spark.algorithms.radii import kbfs_exact
 from ligra_spark.algorithms.hyper import (
     hyper_bc,

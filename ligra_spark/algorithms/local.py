@@ -134,3 +134,85 @@ def nibble(
         if metrics is not None:
             metrics.record(it, frontier=n_fr, wall_s=timer.lap())
     return state.select("id", "p")
+
+
+def heat_kernel(
+    graph: Graph,
+    source: int,
+    t: float = 3.0,
+    eps: float = 1e-9,
+    N: int = 4,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """hk-relax heat-kernel diffusion (localAlg/HeatKernel-Parallel.C:
+    94-174, the Kloster-Gleich push). Exactly ``N`` Taylor terms:
+    round j (j+1 < N) folds the frontier's residual into x and pushes
+    ``(t/(j+1))·r/deg`` into a FRESH residual table (non-frontier
+    residual truncates, as the reference's r.del()/new_r swap); the
+    active set is residuals >= deg·exp(t)·eps/(2N)/psis[j+1]; the last
+    round folds and pushes ``r/deg`` with no Taylor factor
+    (HK_Last_F). Deterministic; returns sparse ``(id, x DOUBLE)``."""
+    import math
+
+    spark = graph.spark
+    fact = [1.0] * N
+    for k in range(1, N):
+        fact[k] = k * fact[k - 1]
+    psis = [
+        sum(fact[k] * t ** m / fact[m + k] for m in range(N - k))
+        for k in range(N)
+    ]
+    constant = math.exp(t) * eps / (2.0 * N)
+
+    deg = graph.degrees.select("id", "out_deg")
+    x = materialize(
+        spark.createDataFrame([(int(source), 0.0)], "id long, x double")
+    )
+    r = spark.createDataFrame([(int(source), 1.0)], "id long, r double")
+    frontier = materialize(r.join(deg, "id").where(F.col("out_deg") > 0))
+    n_f = frontier.count()
+
+    timer = Timer()
+    for j in range(N):
+        if n_f == 0:
+            break
+        fold = x.join(frontier.select("id", "r"), "id", "full_outer").select(
+            "id",
+            (F.coalesce("x", F.lit(0.0)) + F.coalesce("r", F.lit(0.0))).alias("x"),
+        )
+        last = j + 1 == N
+        factor = 1.0 if last else t / float(j + 1)
+        msgs = edge_map(
+            graph,
+            frontier.select(
+                "id",
+                (F.lit(factor) * F.col("r") / F.col("out_deg")).alias("share"),
+            ),
+            message=F.col("share"),
+            combiner="sum",
+            frontier_size=n_f,
+        )
+        if last:
+            x = materialize(
+                fold.join(msgs, "id", "full_outer").select(
+                    "id",
+                    (
+                        F.coalesce("x", F.lit(0.0)) + F.coalesce("msg", F.lit(0.0))
+                    ).alias("x"),
+                ),
+                x,
+            )
+            break
+        x = materialize(fold, x)
+        r = msgs.select("id", F.col("msg").alias("r"))
+        frontier = materialize(
+            r.join(deg, "id").where(
+                (F.col("r") >= F.col("out_deg") * (constant / psis[j + 1]))
+                & (F.col("out_deg") > 0)
+            ),
+            frontier,
+        )
+        n_f = frontier.count()
+        if metrics is not None:
+            metrics.record(j, frontier=n_f, wall_s=timer.lap())
+    return x

@@ -866,6 +866,86 @@ s{i + 1} AS MATERIALIZED (
 NIBBLE_MOD_SQL = _nibble_unrolled_sql(MOD_GRAPH_SQL)
 
 
+def q_heat_kernel_mod(spark, sf_dir):
+    """hk-relax heat-kernel diffusion (localAlg/HeatKernel-Parallel.C)
+    from the min vertex of the symmetrized mod-graph, N=4 Taylor
+    terms; the DuckDB oracle unrolls the identical rounds with the
+    psis thresholds inlined as repr'd doubles."""
+    from ligra_spark.algorithms import heat_kernel
+
+    g = _mod_graph(spark, sf_dir).symmetrized()
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return heat_kernel(g, root, t=3.0, eps=1e-9, N=4).select(
+        "id", F.round("x", 9).alias("x")
+    )
+
+
+def _heat_kernel_unrolled_sql(
+    base_sql: str, t: float = 3.0, eps: float = 1e-9, N: int = 4
+) -> str:
+    """Unrolled hk-relax replay. Residuals are REPLACED each round
+    (non-frontier mass truncates), so empty-frontier rounds cascade to
+    empty and x stops changing — no guards needed. Taylor factors are
+    written as the same IEEE division the Python side performs;
+    thresholds constant/psis[j] are precomputed in Python and inlined
+    via repr round-trip (identical doubles)."""
+    import math as _m
+
+    fact = [1.0] * N
+    for k in range(1, N):
+        fact[k] = k * fact[k - 1]
+    psis = [
+        sum(fact[k] * t ** m / fact[m + k] for m in range(N - k))
+        for k in range(N)
+    ]
+    constant = _m.exp(t) * eps / (2.0 * N)
+    parts = [
+        f"""WITH base AS ({base_sql}),
+e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d
+                     FROM e GROUP BY src),
+x0 AS (SELECT MIN(src) AS id, CAST(0 AS DOUBLE) AS x FROM e),
+r0 AS (SELECT MIN(src) AS id, CAST(1 AS DOUBLE) AS r FROM e),
+f0 AS (SELECT r.id, r.r, d.d FROM r0 r JOIN deg d USING (id) WHERE d.d > 0)"""
+    ]
+    for j in range(N):
+        last = j + 1 == N
+        factor = (
+            "CAST(1 AS DOUBLE)"
+            if last
+            else f"(CAST({t!r} AS DOUBLE) / CAST({j + 1} AS DOUBLE))"
+        )
+        parts.append(f"""
+xa{j} AS MATERIALIZED (
+  SELECT COALESCE(x.id, f.id) AS id,
+         COALESCE(x.x, CAST(0 AS DOUBLE)) + COALESCE(f.r, CAST(0 AS DOUBLE)) AS x
+  FROM x{j} x FULL OUTER JOIN f{j} f ON x.id = f.id),
+m{j} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM({factor} * f.r / f.d) AS msg
+  FROM f{j} f JOIN e ON e.src = f.id GROUP BY e.dst)""")
+        if last:
+            parts.append(f"""
+x{j + 1} AS MATERIALIZED (
+  SELECT COALESCE(x.id, m.id) AS id,
+         COALESCE(x.x, CAST(0 AS DOUBLE)) + COALESCE(m.msg, CAST(0 AS DOUBLE)) AS x
+  FROM xa{j} x FULL OUTER JOIN m{j} m ON x.id = m.id)""")
+        else:
+            th = repr(constant / psis[j + 1])
+            parts.append(f"""
+x{j + 1} AS MATERIALIZED (SELECT * FROM xa{j}),
+r{j + 1} AS MATERIALIZED (SELECT id, msg AS r FROM m{j}),
+f{j + 1} AS MATERIALIZED (
+  SELECT r.id, r.r, d.d FROM r{j + 1} r JOIN deg d USING (id)
+  WHERE d.d > 0 AND r.r >= d.d * CAST('{th}' AS DOUBLE))""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(x, 9) AS x FROM x{N}"
+    )
+
+
+HEAT_KERNEL_MOD_SQL = _heat_kernel_unrolled_sql(MOD_GRAPH_SQL)
+
+
 def q_pagerank_delta_iter1_events(spark, sf_dir):
     """One PageRankDelta round == one plain power-iteration round (the
     PageRankDelta.C:47-85 first-round special case), so it shares the
@@ -1803,6 +1883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "setcover_mod": q_setcover_mod,
     "ppr_acl_mod": q_ppr_acl_mod,
     "nibble_mod": q_nibble_mod,
+    "heat_kernel_mod": q_heat_kernel_mod,
     "loglog_ecc_mod": q_loglog_ecc_mod,
     # hypergraph family (apps/hyper/)
     "hyper_bfs_events": q_hyper_bfs_events,
@@ -1880,6 +1961,7 @@ ORACLE_SQL: dict[str, str] = {
     "setcover_mod": SETCOVER_MOD_SQL,
     "ppr_acl_mod": PPR_ACL_MOD_SQL,
     "nibble_mod": NIBBLE_MOD_SQL,
+    "heat_kernel_mod": HEAT_KERNEL_MOD_SQL,
     "fm_ecc_mod": FM_ECC_MOD_SQL,
     "loglog_ecc_mod": LOGLOG_ECC_MOD_SQL,
     "hyper_bfs_events": HYPER_BFS_SQL,

@@ -85,3 +85,60 @@ def test_nibble_matches_oracle(spark):
         np.testing.assert_allclose(got[v], want[v], rtol=1e-9)
     g.unpersist()
     sg.unpersist()
+
+
+def _hk_oracle(adj, src, t=3.0, eps=1e-9, N=4):
+    import math
+
+    deg = {v: len(ns) for v, ns in adj.items()}
+    fact = [1.0] * N
+    for k in range(1, N):
+        fact[k] = k * fact[k - 1]
+    psis = [
+        sum(fact[k] * t ** m / fact[m + k] for m in range(N - k))
+        for k in range(N)
+    ]
+    const = math.exp(t) * eps / (2.0 * N)
+    x = collections.defaultdict(float)
+    x[src] = 0.0
+    r = {src: 1.0}
+    frontier = [v for v in r if deg.get(v, 0) > 0]
+    for j in range(N):
+        if not frontier:
+            break
+        for v in frontier:
+            x[v] += r[v]
+        last = j + 1 == N
+        factor = 1.0 if last else t / (j + 1)
+        new_r = collections.defaultdict(float)
+        for v in frontier:
+            sh = factor * r[v] / deg[v]
+            for u in adj[v]:
+                new_r[u] += sh
+        if last:
+            for u, m in new_r.items():
+                x[u] += m
+            break
+        r = dict(new_r)
+        frontier = [
+            v for v in r
+            if deg.get(v, 0) > 0 and r[v] >= deg[v] * (const / psis[j + 1])
+        ]
+    return dict(x)
+
+
+def test_heat_kernel_matches_oracle(spark):
+    from ligra_spark.algorithms import heat_kernel
+    from ligra_spark.sources.rmat import rmat_graph_df
+
+    df = rmat_graph_df(spark, 6, 300, seed=7)
+    # Graph.symmetrized() dedupes and drops self-loops; mirror that
+    edges = [(r.src, r.dst) for r in df.collect() if r.src != r.dst]
+    adj = _sym(edges)
+    g = Graph(df, num_partitions=4).symmetrized()
+    src = min(adj)
+    want = _hk_oracle(adj, src)
+    got = {r["id"]: r["x"] for r in heat_kernel(g, src).collect()}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
