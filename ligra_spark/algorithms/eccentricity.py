@@ -135,3 +135,34 @@ def loglog_ecc(
     return _sketch_ecc(
         graph, counters, seed, init, "max", symmetrize, max_iters, metrics
     )
+
+
+def simple_approx_ecc(
+    graph: Graph,
+    symmetrize: bool = True,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(id, ecc INT)`` — Simple-Approx-Ecc.C:74-159: per connected
+    component run ONE BFS and assign every member the BFS depth (a
+    2-approximation; size-2 components get 1, singletons 0). The
+    reference picks a random source per component (rand(),
+    Simple-Approx-Ecc.C:133); we pick the component's min vertex id —
+    deterministic, same guarantee. Spark-first: one multi-source BFS
+    from all component roots at once (per-component sources cannot
+    collide across components), then depth = max dist per component —
+    one fixpoint instead of a per-component loop."""
+    from ligra_spark.algorithms.bfs import bfs
+    from ligra_spark.algorithms.components import connected_components
+
+    g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
+    comps = materialize(connected_components(g, symmetrize=False))
+    roots = comps.where(F.col("id") == F.col("comp")).select("id")
+    dists = bfs(g, roots, metrics=metrics).select("id", "dist")
+    depth = (
+        comps.join(dists, "id")
+        .groupBy("comp")
+        .agg(F.max("dist").alias("depth"))
+    )
+    return comps.join(depth, "comp").select(
+        "id", F.col("depth").cast("int").alias("ecc")
+    )

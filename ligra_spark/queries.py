@@ -866,6 +866,38 @@ s{i + 1} AS MATERIALIZED (
 NIBBLE_MOD_SQL = _nibble_unrolled_sql(MOD_GRAPH_SQL)
 
 
+def q_simple_ecc_mod(spark, sf_dir):
+    """Simple-Approx eccentricity (Simple-Approx-Ecc.C): one BFS per
+    component from its min vertex, depth assigned to every member."""
+    from ligra_spark.algorithms import simple_approx_ecc
+
+    return simple_approx_ecc(_mod_graph(spark, sf_dir))
+
+
+SIMPLE_ECC_MOD_SQL = f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+rc(x, y) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT rc.x, e.dst FROM rc JOIN e ON e.src = rc.y
+),
+comp AS (SELECT x AS id, MIN(y) AS comp FROM rc GROUP BY x),
+r(root, id, dist) AS (
+  SELECT comp, comp, 0 FROM (SELECT DISTINCT comp FROM comp)
+  UNION
+  SELECT r.root, e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.id
+  WHERE r.dist < 200
+),
+d AS (SELECT id, MIN(dist) AS dist FROM r GROUP BY id),
+depth AS (SELECT c.comp, MAX(d.dist) AS depth
+          FROM comp c JOIN d ON d.id = c.id GROUP BY c.comp)
+SELECT c.id, CAST(depth.depth AS INT) AS ecc
+FROM comp c JOIN depth ON depth.comp = c.comp
+"""
+
+
 def q_heat_kernel_mod(spark, sf_dir):
     """hk-relax heat-kernel diffusion (localAlg/HeatKernel-Parallel.C)
     from the min vertex of the symmetrized mod-graph, N=4 Taylor
@@ -1884,6 +1916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ppr_acl_mod": q_ppr_acl_mod,
     "nibble_mod": q_nibble_mod,
     "heat_kernel_mod": q_heat_kernel_mod,
+    "simple_ecc_mod": q_simple_ecc_mod,
     "loglog_ecc_mod": q_loglog_ecc_mod,
     # hypergraph family (apps/hyper/)
     "hyper_bfs_events": q_hyper_bfs_events,
@@ -1962,6 +1995,7 @@ ORACLE_SQL: dict[str, str] = {
     "ppr_acl_mod": PPR_ACL_MOD_SQL,
     "nibble_mod": NIBBLE_MOD_SQL,
     "heat_kernel_mod": HEAT_KERNEL_MOD_SQL,
+    "simple_ecc_mod": SIMPLE_ECC_MOD_SQL,
     "fm_ecc_mod": FM_ECC_MOD_SQL,
     "loglog_ecc_mod": LOGLOG_ECC_MOD_SQL,
     "hyper_bfs_events": HYPER_BFS_SQL,
