@@ -1463,6 +1463,50 @@ GROUP BY c_mktsegment
 """
 
 
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: region→nation→customer→orders→
+    lineitem→supplier with the customer-and-supplier-same-nation
+    constraint — the multi-way broadcast-join + shuffled-fact shape
+    (dims broadcast, the two fact tables shuffle on their join keys;
+    Catalyst reorders the dim joins below the fact join)."""
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+NATION_REVENUE_SQL = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
 # --------------------------------------------------------------------------
 # hypergraph family (apps/hyper/) over the events-derived incidence
 # --------------------------------------------------------------------------
@@ -1947,6 +1991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # relational coverage over TPC-H-shaped tables
     "pricing_summary": q_pricing_summary,
     "segment_spend": q_segment_spend,
+    "nation_revenue": q_nation_revenue,
     # embeddings: similarity search
     "ann_topk": q_ann_topk,
     "ann_topk_kernel": q_ann_topk_kernel,
@@ -1991,6 +2036,7 @@ ORACLE_SQL: dict[str, str] = {
     "frame_sample_docs": FRAME_SAMPLE_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "segment_spend": SEGMENT_SPEND_SQL,
+    "nation_revenue": NATION_REVENUE_SQL,
     "setcover_mod": SETCOVER_MOD_SQL,
     "ppr_acl_mod": PPR_ACL_MOD_SQL,
     "nibble_mod": NIBBLE_MOD_SQL,
