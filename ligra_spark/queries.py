@@ -1999,6 +1999,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_topk": q_lsh_topk,
 }
 
+
+def _release_session_state(spark: SparkSession) -> None:
+    """Drop every cached relation and persisted/localCheckpointed RDD.
+
+    Each query builds its own Graph/Hypergraph, which persists 2-3
+    edge orientations and localCheckpoints per-iteration state. Run
+    back-to-back in ONE session (the driver's CORRECTNESS harness, or
+    a user's notebook), 50+ queries accumulate hundreds of cached RDD
+    block sets; block-manager pressure then degrades every later query
+    (measured: hyper_bfs 46s as query #26 of a shared session vs 14s
+    fresh — the round-1 bench regression was the same mechanism at
+    larger scale). Queries are self-contained, so the previous query's
+    state is garbage by the time the next one starts."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet().toArray()):
+            try:
+                jmap.get(rid).unpersist(False)
+            except Exception:
+                pass
+    except Exception:
+        pass
+
+
+def _isolated(fn):
+    """Wrap a query callable so it releases the PREVIOUS query's
+    cached state before building its own plan. Callers that interleave
+    building and collecting across queries should collect each result
+    before invoking the next query (the driver harness and bench both
+    do)."""
+    import functools
+
+    @functools.wraps(fn)
+    def run(spark, sf_dir):
+        _release_session_state(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
+QUERIES = {name: _isolated(fn) for name, fn in QUERIES.items()}
+
 ORACLE_SQL: dict[str, str] = {
     "edges_events": EDGES_FROM_EVENTS_SQL,
     "degrees_events": DEGREES_SQL,
