@@ -133,7 +133,9 @@ def set_cover(
             )
         )
         sets = materialize(reb, sets)
-        cover = materialize(cover)
+        # cover is an append-only union of already-materialized `won`
+        # nodes — the union plan stays shallow without its own
+        # per-round materialization job
         if metrics is not None:
             metrics.record(it, bucket=cur, active=n_cur, wall_s=timer.lap())
     return cover.select("set_id").distinct()
