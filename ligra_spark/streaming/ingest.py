@@ -126,3 +126,33 @@ def incremental_degrees(
         q.awaitTermination()
         return q
     return writer.trigger(processingTime="10 seconds").start()
+
+
+def windowed_edge_rates(
+    edges_stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked sliding-window edge-arrival rates per source vertex —
+    the canonical Structured Streaming aggregation shape for the graph
+    feed: ``withWatermark`` bounds state for late events, the window
+    aggregate is partial-aggregated map-side like any groupBy, and the
+    result streams to any sink in append mode once windows close.
+
+    Input must carry an event-time ``ts TIMESTAMP`` column alongside
+    ``src``/``dst``. Returns ``(window, src, n_edges, n_dst)`` —
+    running on a bounded batch DataFrame yields the same result as the
+    stream having fully drained, which is what the test asserts.
+    """
+    from pyspark.sql import functions as F
+
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        edges_stream.withWatermark("ts", watermark)
+        .groupBy(w.alias("window"), "src")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.approx_count_distinct("dst").alias("n_dst"),
+        )
+    )

@@ -89,3 +89,59 @@ def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
         for r in spark.read.parquet(str(deg_dir)).where("id in (0, 1, 2)").collect()
     }
     assert got[0] == (2, 0) and got[1] == (1, 2)
+
+
+def test_windowed_edge_rates_stream_matches_batch(spark, tmp_path):
+    """Drive windowed_edge_rates through a real file-source stream
+    (two micro-batch files, one late event) and assert the drained
+    result equals the batch computation over the full input."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from ligra_spark.streaming.ingest import windowed_edge_rates
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # (src, dst, minutes-offset); window=10m tumbling
+        (0, 1, 1), (0, 2, 3), (1, 2, 4),      # window [0,10)
+        (0, 3, 12), (2, 3, 14),               # window [10,20)
+        (1, 4, 2),                            # LATE event for [0,10)
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "src long, dst long, ts timestamp"
+
+    def write_batch(name, batch):
+        spark.createDataFrame(
+            [(s, d, t0 + dt.timedelta(minutes=m)) for s, d, m in batch], schema
+        ).coalesce(1).write.mode("overwrite").parquet(str(in_dir / name))
+
+    write_batch("b0", rows[:3])
+    write_batch("b1", rows[3:])
+    src_df = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(in_dir) + "/*")
+    out = windowed_edge_rates(src_df, window="10 minutes", watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rates")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window"]["start"].minute, r["src"]): (r["n_edges"], r["n_dst"])
+        for r in spark.sql("SELECT * FROM rates").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(s, d, t0 + dt.timedelta(minutes=m)) for s, d, m in rows], schema
+    )
+    want = {
+        (r["window"]["start"].minute, r["src"]): (r["n_edges"], r["n_dst"])
+        for r in windowed_edge_rates(batch_df).collect()
+    }
+    assert got == want
+    assert got[(0, 0)] == (2, 2) and got[(10, 0)] == (1, 1)
