@@ -37,15 +37,11 @@ SCALING_QUERIES = (
 )
 
 
-TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
 
 
-def run_level(cpus: int) -> dict:
-    """Best-of-TRIALS per query: this sandbox is a shared VM with
-    measured CPU steal up to ~15% of the box in 5s windows, so single
-    runs carry multi-second stalls that are host noise, not engine
-    time. Min-of-trials is the standard noisy-host protocol; the trial
-    spread is reported alongside."""
+def _one_trial(cpus: int) -> dict:
+    """One fresh-JVM bench run at the given parallelism."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
@@ -60,16 +56,34 @@ def run_level(cpus: int) -> dict:
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         SPARK_GRAFT_ONLY=",".join(SCALING_QUERIES),
     )
-    trials = []
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def run_levels() -> dict[int, dict]:
+    """Best-of-TRIALS per query per level, with trials INTERLEAVED
+    across levels (8,32,8,32,...): this sandbox is a shared VM with
+    measured CPU steal up to ~15% of the box and multi-minute noise
+    bursts — running all of one level then all of the other lets one
+    burst bias a whole level and flip the efficiency ratio (observed:
+    3x trial spreads and local[8] "beating" local[32]). Interleaving
+    gives every level trials in every noise window; min-of-trials per
+    level then separates engine time from host noise. Spreads are
+    reported alongside."""
+    trials: dict[int, list[dict]] = {c: [] for c in LEVELS}
     for _ in range(TRIALS):
-        out = subprocess.run(
-            [sys.executable, str(REPO / "bench.py")],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        trials.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        for c in LEVELS:
+            trials[c].append(_one_trial(c))
+    return {c: _best(trials[c]) for c in LEVELS}
+
+
+def _best(trials: list[dict]) -> dict:
     best = dict(trials[0])
     best["queries"] = {
         q: min(t["queries"][q] for t in trials) for q in trials[0]["queries"]
@@ -91,7 +105,7 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
-    results = {c: run_level(c) for c in LEVELS}
+    results = run_levels()
     n, n4 = LEVELS
     report = {"sf_dir": SF_DIR, "levels": {}, "queries": {}}
     for c in LEVELS:

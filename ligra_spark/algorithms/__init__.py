@@ -34,6 +34,7 @@ from ligra_spark.algorithms.hyper import (
     hyper_bpath,
     hyper_cc,
     hyper_kcore,
+    hyper_kcore_bucketed,
     hyper_mis,
     hyper_pagerank,
     hyper_sssp,

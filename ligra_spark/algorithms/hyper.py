@@ -560,3 +560,74 @@ def hyper_mis(
         if metrics is not None:
             metrics.record(it, frontier=n_f, wall_s=timer.lap())
     return flags.select("id", (F.col("flag") >= 2).alias("in_set"))
+
+
+def hyper_kcore_bucketed(
+    hg: Hypergraph,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(id, core)`` — work-efficient hypergraph peeling over Julienne
+    buckets (HyperKCore-Efficient.C:23-63): the bucket key IS the
+    current degree; popping the minimum bucket k peels its vertices
+    with core = k, their hyperedges die (once, Remove_Hyperedge), and
+    survivors decrement by their newly-dead incident count, clamped at
+    k (apply_f). Produces the same core numbers as :func:`hyper_kcore`
+    (confluent peeling), in one round per distinct core value instead
+    of one per removal wave."""
+    from ligra_spark.operators.buckets import next_bucket
+
+    inc = hg.fwd.edges_by_src  # (src=v, dst=h)
+    verts = materialize(
+        hg.vertex_degrees.select("id", F.col("deg").cast("long").alias("deg"))
+    )
+    spark = hg.spark
+    cores = spark.createDataFrame([], "id long, core int")
+    dead_h = materialize(
+        spark.createDataFrame([], "dst long")
+    )
+
+    timer = Timer()
+    it = 0
+    while True:
+        cur, n_cur = next_bucket(
+            verts.select("id", F.col("deg").alias("bkt")), order="increasing"
+        )
+        if cur is None:
+            break
+        active = verts.where(F.col("deg") == cur).select("id")
+        cores = cores.unionAll(
+            materialize(active.select("id", F.lit(cur).cast("int").alias("core")))
+        )
+        newly_dead = (
+            inc.join(active.withColumnRenamed("id", "src"), "src")
+            .select("dst")
+            .distinct()
+            .join(dead_h, "dst", "left_anti")
+        )
+        newly_dead = materialize(newly_dead)
+        survivors = verts.join(active, "id", "left_anti")
+        dec = (
+            inc.join(newly_dead, "dst")
+            .join(survivors.select(F.col("id").alias("src")), "src")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        verts = materialize(
+            survivors.join(dec, "id", "left").select(
+                "id",
+                F.when(
+                    F.col("deg") > cur,
+                    F.greatest(
+                        F.col("deg") - F.coalesce("dec", F.lit(0)), F.lit(cur)
+                    ),
+                )
+                .otherwise(F.col("deg"))
+                .alias("deg"),
+            ),
+            verts,
+        )
+        dead_h = materialize(dead_h.unionAll(newly_dead), dead_h)
+        if metrics is not None:
+            metrics.record(it, k=cur, peeled=n_cur, wall_s=timer.lap())
+        it += 1
+    return cores

@@ -1697,6 +1697,16 @@ FROM r GROUP BY id
 """
 
 
+def q_hyper_kcore_bucketed_events(spark, sf_dir):
+    """Work-efficient Julienne-bucketed hypergraph peeling
+    (HyperKCore-Efficient.C) — same cores as hyper_kcore (confluent
+    peeling), so it shares the single-victim replay oracle; agreement
+    verifies the bucket scheduler + clamped decrement path."""
+    from ligra_spark.algorithms import hyper_kcore_bucketed
+
+    return hyper_kcore_bucketed(_hyper(spark, sf_dir))
+
+
 def q_hyper_mis_events(spark, sf_dir):
     """Hypergraph MIS (HyperMIS.C:119-160, Beame-Luby rounds) with the
     engine's portable deterministic sampling hash; the DuckDB oracle
@@ -1968,6 +1978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hyper_pagerank_events": q_hyper_pagerank_events,
     "hyper_sssp_events": q_hyper_sssp_events,
     "hyper_kcore_events": q_hyper_kcore_events,
+    "hyper_kcore_bucketed_events": q_hyper_kcore_bucketed_events,
     "hyper_bpath_events": q_hyper_bpath_events,
     "hyper_bc_events": q_hyper_bc_events,
     "hyper_mis_events": q_hyper_mis_events,
@@ -2095,6 +2106,7 @@ ORACLE_SQL: dict[str, str] = {
     "hyper_pagerank_events": HYPER_PAGERANK_SQL,
     "hyper_sssp_events": HYPER_SSSP_SQL,
     "hyper_kcore_events": HYPER_KCORE_SQL,
+    "hyper_kcore_bucketed_events": HYPER_KCORE_SQL,
     "hyper_bpath_events": HYPER_BPATH_SQL,
     "hyper_bc_events": HYPER_BC_SQL,
     "hyper_mis_events": HYPER_MIS_SQL,

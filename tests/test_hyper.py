@@ -236,3 +236,11 @@ def test_hyper_mis(hg, spark):
             assert any(
                 mem - {v} <= in_set for mem in (hv[h] for h in vh[v])
             ), f"vertex {v} could be added"
+
+
+def test_hyper_kcore_bucketed_matches_plain(hg):
+    from ligra_spark.algorithms import hyper_kcore, hyper_kcore_bucketed
+
+    plain = {r.id: r.core for r in hyper_kcore(hg).collect()}
+    bucketed = {r.id: r.core for r in hyper_kcore_bucketed(hg).collect()}
+    assert bucketed == plain
