@@ -23,7 +23,12 @@ __all__ = [
     "triangle_count",
     "triangles_per_vertex",
 ]
-from ligra_spark.algorithms.eccentricity import fm_ecc, loglog_ecc, simple_approx_ecc
+from ligra_spark.algorithms.eccentricity import (
+    fm_ecc,
+    loglog_ecc,
+    simple_approx_ecc,
+    tk_ecc,
+)
 from ligra_spark.algorithms.cf import cf
 from ligra_spark.algorithms.setcover import set_cover
 from ligra_spark.algorithms.local import heat_kernel, nibble, ppr_acl

@@ -166,3 +166,119 @@ def simple_approx_ecc(
     return comps.join(depth, "comp").select(
         "id", F.col("depth").cast("int").alias("ecc")
     )
+
+
+def tk_ecc(
+    graph: Graph,
+    symmetrize: bool = True,
+    max_iters: int = 10_000,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(id, radius INT)`` — EXACT eccentricities by Takes-Kosters
+    bound refinement (TK.C:125-194): every vertex keeps lower/upper
+    eccentricity bounds; each iteration BFSes from one undetermined
+    vertex per component (alternating the reference's max-upper /
+    min-lower selection, TK.C:151-152; ties break to min id — the
+    schedule only affects iteration count, never the exact output),
+    fixes that vertex's eccentricity, and tightens everyone's bounds
+    via lower = max(lower, ecc_w - d, d), upper = min(upper,
+    ecc_w + d) (TK.C:171-174). Vertices whose bounds meet are
+    determined. All components refine simultaneously (one BFS root per
+    component per iteration — their BFS's cannot collide)."""
+    from ligra_spark.algorithms.components import connected_components
+
+    g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
+    comps = connected_components(g, symmetrize=False)
+    state = materialize(
+        comps.select(
+            "id", "comp", F.lit(0).alias("low"),
+            F.lit(None).cast("int").alias("up"),
+        )
+    )
+    done = g.spark.createDataFrame([], "id long, radius int")
+
+    timer = Timer()
+    for it in range(max_iters):
+        n_left = state.count()
+        if n_left == 0:
+            break
+        from pyspark.sql import Window
+
+        key = (
+            F.col("up").desc_nulls_first()
+            if it % 2 == 0
+            else F.col("low").asc()
+        )
+        w = Window.partitionBy("comp").orderBy(key, F.col("id").asc())
+        picks = materialize(
+            state.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("id").alias("root"), "comp")
+        )
+        # multi-root BFS keeping per-root distances (one root per
+        # component, so the (root, id) state is comp-partitioned)
+        vis = materialize(
+            picks.select("root", F.col("root").alias("id"), F.lit(0).alias("dist"))
+        )
+        frontier = vis
+        r = 0
+        while True:
+            msgs = (
+                frontier.select("root", F.col("id").alias("src"))
+                .join(g.edges_by_src, "src")
+                .select("root", F.col("dst").alias("id"))
+                .distinct()
+            )
+            new = msgs.join(vis.select("root", "id"), ["root", "id"], "left_anti")
+            new = new.select("root", "id", F.lit(r + 1).alias("dist"))
+            vis_next = materialize(vis.unionAll(new), vis)
+            frontier = vis_next.where(F.col("dist") == r + 1)
+            n_f = frontier.count()
+            vis = vis_next
+            r += 1
+            if n_f == 0:
+                break
+        eccw = vis.groupBy("root").agg(F.max("dist").alias("eccw"))
+        done = materialize(
+            done.unionAll(
+                picks.join(eccw, "root").select(
+                    F.col("root").alias("id"), F.col("eccw").cast("int").alias("radius")
+                )
+            ),
+            done,
+        )
+        upd = (
+            state.join(picks.select(F.col("comp")).withColumn("_p", F.lit(1)), "comp", "left")
+            .join(vis.select("id", "dist"), "id", "left")
+            .join(picks.join(eccw, "root").select("comp", "eccw"), "comp", "left")
+            .select(
+                "id",
+                "comp",
+                F.greatest(
+                    "low",
+                    F.col("eccw") - F.col("dist"),
+                    F.col("dist"),
+                ).alias("low"),
+                F.least(F.col("up"), F.col("eccw") + F.col("dist")).alias("up"),
+            )
+        )
+        # roots are already in done with their exact value — their
+        # bounds also meet (d=0 tightens both to eccw), so exclude
+        # them here or they would be inserted twice
+        determined = upd.where(F.col("low") == F.col("up")).join(
+            picks.select(F.col("root").alias("id")), "id", "left_anti"
+        )
+        done = materialize(
+            done.unionAll(
+                determined.select("id", F.col("low").cast("int").alias("radius"))
+            ),
+            done,
+        )
+        state = materialize(
+            upd.join(determined.select("id"), "id", "left_anti")
+            .join(picks.select(F.col("root").alias("id")), "id", "left_anti"),
+            state,
+        )
+        if metrics is not None:
+            metrics.record(it, remaining=n_left, wall_s=timer.lap())
+    return done

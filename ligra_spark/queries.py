@@ -494,6 +494,16 @@ def q_kbfs_ecc_mod(spark, sf_dir):
     return kbfs_exact(_mod_graph(spark, sf_dir))
 
 
+def q_tk_ecc_mod(spark, sf_dir):
+    """Takes-Kosters exact eccentricity via bound refinement (TK.C).
+    The selection schedule only affects iteration count — the output
+    is always exact — so it shares the all-pairs-BFS oracle with
+    radii/kbfs; agreement verifies the bound-refinement loop."""
+    from ligra_spark.algorithms import tk_ecc
+
+    return tk_ecc(_mod_graph(spark, sf_dir))
+
+
 def q_tri_vertex_mod(spark, sf_dir):
     """Per-vertex incident triangle counts (Triangle.C per-vertex form)
     on the symmetrized mod-graph."""
@@ -1964,6 +1974,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mis_mod": q_mis_mod,
     "radii_mod": q_radii_mod,
     "kbfs_ecc_mod": q_kbfs_ecc_mod,
+    "tk_ecc_mod": q_tk_ecc_mod,
     "fm_ecc_mod": q_fm_ecc_mod,
     "cf_iter1_mod": q_cf_iter1_mod,
     "setcover_mod": q_setcover_mod,
@@ -2075,6 +2086,7 @@ ORACLE_SQL: dict[str, str] = {
     "mis_mod": MIS_MOD_SQL,
     "radii_mod": RADII_MOD_SQL,
     "kbfs_ecc_mod": RADII_MOD_SQL,
+    "tk_ecc_mod": RADII_MOD_SQL,
     "tri_vertex_mod": TRI_VERTEX_MOD_SQL,
     "pagerank_delta_iter1_events": PAGERANK_ITER1_SQL,
     "pagerank_csr_iter1_events": PAGERANK_ITER1_SQL,

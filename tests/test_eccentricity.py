@@ -76,3 +76,32 @@ def test_kbfs_exact_matches_bfs_oracle(spark):
     got = {r["id"]: r["radius"] for r in kbfs_exact(g).collect()}
     assert got == exact
     g.unpersist()
+
+
+def test_tk_exact_on_rmat(spark):
+    from collections import defaultdict, deque
+
+    from ligra_spark.algorithms import tk_ecc
+    from ligra_spark.graph import Graph
+    from ligra_spark.sources.rmat import rmat_graph_df
+
+    df = rmat_graph_df(spark, 6, 250, seed=11)
+    g = Graph(df, dedupe=True, num_partitions=4)
+    adj = defaultdict(set)
+    for r in g.symmetrized().edges_by_src.collect():
+        adj[r.src].add(r.dst)
+
+    def ecc(v):
+        dist = {v: 0}
+        q = deque([v])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        return max(dist.values())
+
+    want = sorted((v, ecc(v)) for v in adj)
+    got = sorted((r.id, r.radius) for r in tk_ecc(g).collect())
+    assert got == want  # list compare catches duplicate rows too
