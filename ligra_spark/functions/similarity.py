@@ -272,3 +272,123 @@ def embedding_dup_pairs(
         cand.where(cosine_similarity(F.col("va"), F.col("vb")) >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def _l2sq(vec_col, lits):
+    """Squared L2 distance between an array column and a literal
+    centroid — a left fold, so both engines evaluate the identical
+    IEEE sequence."""
+    cent = F.array(*[F.lit(float(x)) for x in lits])
+    return F.aggregate(
+        F.zip_with(vec_col, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_fit_cells(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: centroids initialized from the
+    ``n_cells`` smallest-id vectors, refined by ``iters`` Lloyd
+    rounds (assign = argmin L2, tie -> smallest cell; update =
+    per-dimension mean). Centroids are ROUNDED to 6dp in-engine after
+    every step, which pins the whole pipeline across engines: both
+    sides compute assignments from identical literals, so the only
+    cross-engine float surface is the mean's last bits vs a 1e-6
+    grid — vanishing. Returns driver-side centroid lists (O(cells x
+    dim) — the quantizer is driver-sized by design, like every
+    IVF implementation's coarse codebook)."""
+    c = corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+    init = (
+        c.orderBy("cid")
+        .limit(n_cells)
+        .select(F.transform("cv", lambda x: F.round(x, 6)).alias("cv"))
+        .collect()
+    )
+    cents = [list(r.cv) for r in init]
+    for _ in range(iters):
+        amin = F.array_min(
+            F.array(*[
+                F.struct(_l2sq(F.col("cv"), cents[j]).alias("d"),
+                         F.lit(j).alias("c"))
+                for j in range(len(cents))
+            ])
+        )
+        assigned = c.select("cid", "cv", amin.getField("c").alias("cell"))
+        means = (
+            assigned.select("cell", F.posexplode("cv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), 6).alias("m"))
+            .collect()
+        )
+        new = {r.cell: dict() for r in means}
+        for r in means:
+            new[r.cell][r.pos] = r.m
+        cents = [
+            [new[j][p] for p in range(len(cents[j]))] if j in new else cents[j]
+            for j in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k ``(query_id, rank, neighbor_id)``: vectors
+    are bucketed by their nearest coarse centroid; each query probes
+    its ``nprobe`` nearest cells and scores only those cells' vectors
+    by exact cosine. The probe is an EXPLODE + equi-join on the cell
+    id — never a theta-join — so at 10^9 vectors the scored set is
+    ``nprobe/n_cells`` of the corpus and the shuffle is bounded by the
+    candidate lists. Rank ties break by neighbor id, same contract as
+    :func:`cosine_topk`."""
+    from pyspark.sql import Window
+
+    cents = ivf_fit_cells(corpus, n_cells, iters, id_col, vec_col)
+
+    def amin_cells(vcol, n):
+        arr = F.array_sort(
+            F.array(*[
+                F.struct(_l2sq(vcol, cents[j]).alias("d"), F.lit(j).alias("c"))
+                for j in range(len(cents))
+            ])
+        )
+        return F.transform(F.slice(arr, 1, n), lambda s: s.getField("c"))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cell", amin_cells(F.col("cv"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).select(
+        "query_id", "qv", F.explode(amin_cells(F.col("qv"), nprobe)).alias("cell")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -1313,6 +1313,78 @@ def q_ann_topk_kernel(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k over the embeddings: deterministic Lloyd
+    coarse quantizer (centroids from the smallest-id vectors, rounded
+    6dp in-engine each step so both engines compute assignments from
+    identical literals), nprobe nearest cells per query via EXPLODE +
+    equi-join (never a theta-join), exact cosine within probed cells.
+    The oracle replays the identical quantizer + probe in SQL."""
+    from ligra_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.orderBy("vec_id").limit(20)
+    return ivf_topk(emb, queries, k=5).select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
+    )
+
+
+def _ivf_sql(n_cells=8, nprobe=2, iters=2, k=5, dim=64, nq=20):
+    parts = [f"""WITH emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cent0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,
+         list_transform(v, x -> ROUND(x, 6)) AS cv
+  FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {n_cells}))"""]
+    for t in range(iters):
+        parts.append(f"""
+a{t} AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cv), c.cell) AS rn
+    FROM emb e CROSS JOIN cent{t} c) WHERE rn = 1),
+cent{t + 1} AS MATERIALIZED (
+  SELECT cell, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cell, gs.pos, ROUND(AVG(a.v[gs.pos]), 6) AS m
+    FROM a{t} a CROSS JOIN generate_series(1, {dim}) gs(pos)
+    GROUP BY a.cell, gs.pos) GROUP BY cell
+  UNION ALL
+  SELECT c.cell, c.cv FROM cent{t} c
+  WHERE c.cell NOT IN (SELECT DISTINCT cell FROM a{t}))""")
+    C = f"cent{iters}"
+    parts.append(f"""
+af AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cv), c.cell) AS rn
+    FROM emb e CROSS JOIN {C} c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb ORDER BY vec_id LIMIT {nq}),
+probe AS MATERIALIZED (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY list_distance(q.qv, c.cv), c.cell) AS rn
+    FROM q CROSS JOIN {C} c) WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, a.v) AS sim
+  FROM probe p JOIN af a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id),
+r AS (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rnk
+      FROM scored)""")
+    return (",\n".join(parts)
+            + f"\nSELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM r WHERE rnk <= {k}")
+
+
+
+IVF_TOPK_SQL = _ivf_sql()
+
+
 def q_embedding_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs via the sign-LSH bucketed scale
     path (4 tables × 4 hyperplanes, exact cosine rescoring within
@@ -2017,6 +2089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # embeddings: similarity search
     "ann_topk": q_ann_topk,
     "ann_topk_kernel": q_ann_topk_kernel,
+    "ivf_topk": q_ivf_topk,
     "embedding_dups": q_embedding_dups,
     "lsh_topk": q_lsh_topk,
 }
@@ -2125,6 +2198,7 @@ ORACLE_SQL: dict[str, str] = {
     "lsh_topk": LSH_TOPK_SQL,
     "ann_topk": ANN_TOPK_SQL,
     "ann_topk_kernel": ANN_TOPK_SQL,
+    "ivf_topk": IVF_TOPK_SQL,
     "embedding_dups": EMBEDDING_DUPS_SQL,
     # every queries() entry above has a DuckDB oracle.
 }
