@@ -98,18 +98,35 @@ def main() -> None:
         extras["transcript_edges"] = m
 
         if _want("pagerank_transcripts"):
+            from ligra_spark.algorithms._iter import IterMetrics
+
+            pr_m = IterMetrics()
             timed(
                 "pagerank_transcripts",
-                lambda: pagerank(g, max_iters=PR_ITERS).count(),
+                lambda: pagerank(g, max_iters=PR_ITERS, metrics=pr_m).count(),
             )
             extras["pagerank_edges_per_sec"] = round(
                 m * PR_ITERS / timings["pagerank_transcripts"], 1
             )
+            # per-iteration walls: a degrading tail (vs uniform) is the
+            # signature of plan/lineage blowup, not compute
+            extras["pagerank_iter_walls"] = [
+                round(r.get("wall_s", 0.0), 2) for r in pr_m.rounds
+            ]
         if _want("cc_transcripts"):
-            timed("cc_transcripts", lambda: connected_components(g).count())
+            from ligra_spark.algorithms._iter import IterMetrics
+
+            cc_m = IterMetrics()
+            timed(
+                "cc_transcripts",
+                lambda: connected_components(g, metrics=cc_m).count(),
+            )
             extras["cc_edges_per_sec"] = round(
                 2 * m / timings["cc_transcripts"], 1
             )  # symmetrized
+            extras["cc_iter_walls"] = [
+                round(r.get("wall_s", 0.0), 2) for r in cc_m.rounds
+            ]
         if _want("lp_transcripts"):
             timed("lp_transcripts", lambda: label_propagation(g, max_iters=5).count())
         g.unpersist()
