@@ -171,6 +171,7 @@ def simple_approx_ecc(
 def tk_ecc(
     graph: Graph,
     symmetrize: bool = True,
+    batch: int = 4,
     max_iters: int = 10_000,
     metrics: IterMetrics | None = None,
 ) -> DataFrame:
@@ -183,8 +184,10 @@ def tk_ecc(
     fixes that vertex's eccentricity, and tightens everyone's bounds
     via lower = max(lower, ecc_w - d, d), upper = min(upper,
     ecc_w + d) (TK.C:171-174). Vertices whose bounds meet are
-    determined. All components refine simultaneously (one BFS root per
-    component per iteration — their BFS's cannot collide)."""
+    determined. All components refine simultaneously, and ``batch``
+    roots per component run in ONE multi-root BFS fixpoint per
+    iteration (the (root, id) state keys distances per root) — fewer
+    synchronous fixpoints, identical exact output."""
     from ligra_spark.algorithms.components import connected_components
 
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
@@ -212,7 +215,7 @@ def tk_ecc(
         w = Window.partitionBy("comp").orderBy(key, F.col("id").asc())
         picks = materialize(
             state.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
+            .where(F.col("_rn") <= batch)
             .select(F.col("id").alias("root"), "comp")
         )
         # multi-root BFS keeping per-root distances (one root per
@@ -247,20 +250,22 @@ def tk_ecc(
             ),
             done,
         )
-        upd = (
-            state.join(picks.select(F.col("comp")).withColumn("_p", F.lit(1)), "comp", "left")
-            .join(vis.select("id", "dist"), "id", "left")
-            .join(picks.join(eccw, "root").select("comp", "eccw"), "comp", "left")
-            .select(
-                "id",
-                "comp",
-                F.greatest(
-                    "low",
-                    F.col("eccw") - F.col("dist"),
-                    F.col("dist"),
-                ).alias("low"),
-                F.least(F.col("up"), F.col("eccw") + F.col("dist")).alias("up"),
+        # aggregate bound deltas over ALL roots that reached a vertex
+        delta = (
+            vis.join(eccw, "root")
+            .groupBy("id")
+            .agg(
+                F.max(
+                    F.greatest(F.col("eccw") - F.col("dist"), F.col("dist"))
+                ).alias("lowd"),
+                F.min(F.col("eccw") + F.col("dist")).alias("upd"),
             )
+        )
+        upd = state.join(delta, "id", "left").select(
+            "id",
+            "comp",
+            F.greatest("low", "lowd").alias("low"),
+            F.least("up", "upd").alias("up"),
         )
         # roots are already in done with their exact value — their
         # bounds also meet (d=0 tightens both to eccw), so exclude
