@@ -107,3 +107,40 @@ def connected_components(
         if frontier_n == 0:
             break
     return state
+
+
+def bfs_components(
+    graph: Graph,
+    symmetrize: bool = True,
+    max_comps: int = 10_000,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """``(id, comp)`` — components via repeated BFS (BFSCC.C:31-73),
+    the low-diameter-graph strategy: repeatedly BFS from the smallest
+    unvisited vertex and label its whole component. Processing roots
+    in ascending id order makes every component's root its min id, so
+    the output equals hash-min label propagation exactly (and shares
+    its oracle); only the schedule differs — O(#components) BFS
+    fixpoints instead of O(diameter) label rounds."""
+    from ligra_spark.algorithms.bfs import bfs
+
+    g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
+    remaining = materialize(g.vertices)
+    out = g.spark.createDataFrame([], "id long, comp long")
+    timer = Timer()
+    for it in range(max_comps):
+        row = remaining.agg(F.min("id")).first()
+        if row is None or row[0] is None:
+            break
+        root = int(row[0])
+        reached = bfs(g, root).select(
+            "id", F.lit(root).alias("comp")
+        ).join(remaining, "id", "left_semi")
+        reached = materialize(reached)
+        out = materialize(out.unionAll(reached), out)
+        remaining = materialize(
+            remaining.join(reached.select("id"), "id", "left_anti"), remaining
+        )
+        if metrics is not None:
+            metrics.record(it, root=root, wall_s=timer.lap())
+    return out

@@ -435,6 +435,30 @@ KCORE_MOD_SQL = _kcore_replay_sql(MOD_GRAPH_SQL)
 KCORE_TYPES_SQL = _kcore_replay_sql(EVENT_TYPE_GRAPH_SQL)
 
 
+def q_bfscc_mod(spark, sf_dir):
+    """Components via repeated BFS (BFSCC.C:31-73) on the mod graph.
+    Ascending root order makes every component's root its min id, so
+    the output equals hash-min CC and a reachability-closure oracle
+    verifies it; only the schedule (O(#comps) BFS fixpoints) is the
+    BFSCC strategy."""
+    from ligra_spark.algorithms import bfs_components
+
+    return bfs_components(_mod_graph(spark, sf_dir))
+
+
+CC_MOD_SQL = f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+r(x, y) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT r.x, e.dst FROM r JOIN e ON e.src = r.y
+)
+SELECT x AS id, MIN(y) AS comp FROM r GROUP BY x
+"""
+
+
 def q_mis_mod(spark, sf_dir):
     """Deterministic id-priority MIS (MIS.C:38-70 analog). The parallel
     priority fixpoint equals the lexicographically-first MIS, which the
@@ -2031,6 +2055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edges_events": q_edges_events,
     "degrees_events": q_degrees_events,
     "cc_events": q_cc_events,
+    "bfscc_mod": q_bfscc_mod,
     "pagerank_iter1_events": q_pagerank_iter1_events,
     "pagerank_events": q_pagerank_events,
     "triangles_types": q_triangles_types,
@@ -2144,6 +2169,7 @@ ORACLE_SQL: dict[str, str] = {
     "edges_events": EDGES_FROM_EVENTS_SQL,
     "degrees_events": DEGREES_SQL,
     "cc_events": CC_EVENTS_SQL,
+    "bfscc_mod": CC_MOD_SQL,
     "pagerank_iter1_events": PAGERANK_ITER1_SQL,
     "pagerank_events": PAGERANK_EVENTS_SQL,
     "lp_events": LP_EVENTS_SQL,

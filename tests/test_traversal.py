@@ -149,3 +149,12 @@ def test_snap_reader(spark, tmp_path):
     pw.write_text("0 1 2.5\n1 2 1.0\n")
     gotw = sorted(tuple(r) for r in read_snap_graph(spark, str(pw), weighted=True).collect())
     assert gotw == [(0, 1, 2.5), (1, 2, 1.0)]
+
+
+def test_bfs_components_equals_hashmin(spark, mk_graph):
+    from ligra_spark.algorithms import bfs_components, connected_components
+
+    g = mk_graph([(0, 1), (1, 2), (5, 6), (7, 8), (8, 9), (3, 4)])
+    want = sorted((r.id, r.comp) for r in connected_components(g).collect())
+    got = sorted((r.id, r.comp) for r in bfs_components(g).collect())
+    assert got == want
