@@ -96,3 +96,32 @@ def test_embedding_dups_bucketed_no_cartesian(spark):
     )
     df = embedding_dup_pairs(emb, id_col="emb_id", vec_col="vec")
     assert_no_cartesian(df, "embedding_dup_pairs")
+
+
+def test_hyper_props_no_cartesian(spark):
+    from ligra_spark.hypergraph import Hypergraph
+
+    inc = spark.createDataFrame(
+        [(0, 100), (1, 100), (2, 101), (0, 101)], "v long, h long"
+    )
+    hg = Hypergraph(inc, num_partitions=4)
+    frontier = spark.createDataFrame([(0,)], "id long")
+    up = hg.vertex_prop(frontier, combiner="min", frontier_size=1)
+    assert_no_cartesian(up, "vertex_prop")
+    down = hg.hyperedge_prop(
+        spark.createDataFrame([(100,)], "id long"), combiner="min",
+        frontier_size=1,
+    )
+    assert_no_cartesian(down, "hyperedge_prop")
+
+
+def test_ivf_probe_is_equijoin(spark):
+    from ligra_spark.functions.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.orderBy("vec_id").limit(4)
+    df = ivf_topk(emb, q, k=3, n_cells=4, nprobe=2)
+    assert_no_cartesian(df, "ivf_topk")
