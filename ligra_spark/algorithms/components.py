@@ -114,6 +114,7 @@ def bfs_components(
     symmetrize: bool = True,
     max_comps: int = 10_000,
     metrics: IterMetrics | None = None,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """``(id, comp)`` — components via repeated BFS (BFSCC.C:31-73),
     the low-diameter-graph strategy: repeatedly BFS from the smallest
@@ -121,9 +122,25 @@ def bfs_components(
     in ascending id order makes every component's root its min id, so
     the output equals hash-min label propagation exactly (and shares
     its oracle); only the schedule differs — O(#components) BFS
-    fixpoints instead of O(diameter) label rounds."""
+    fixpoints instead of O(diameter) label rounds.
+
+    Each BFS fixpoint is a sequence of driver-blocking Spark jobs, so
+    this strategy only makes sense when #components is SMALL (a few
+    giant low-diameter components). Real sparse graphs — including the
+    engine's own per-user event chains, where #components ≈ #users —
+    routinely exceed any reasonable cap, and a silently truncated
+    labeling is worse than no answer. So when ``max_comps`` roots are
+    exhausted with vertices still unlabeled, ``on_overflow`` decides:
+
+    - ``'error'`` (default): raise, naming ``connected_components`` as
+      the many-component tool;
+    - ``'fallback'``: label the remainder with one
+      ``connected_components`` run (exact same fixpoint, O(log) rounds
+      regardless of component count)."""
     from ligra_spark.algorithms.bfs import bfs
 
+    if on_overflow not in ("error", "fallback"):
+        raise ValueError("on_overflow must be 'error' or 'fallback'")
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
     remaining = materialize(g.vertices)
     out = g.spark.createDataFrame([], "id long, comp long")
@@ -131,7 +148,7 @@ def bfs_components(
     for it in range(max_comps):
         row = remaining.agg(F.min("id")).first()
         if row is None or row[0] is None:
-            break
+            return out
         root = int(row[0])
         reached = bfs(g, root).select(
             "id", F.lit(root).alias("comp")
@@ -143,4 +160,34 @@ def bfs_components(
         )
         if metrics is not None:
             metrics.record(it, root=root, wall_s=timer.lap())
-    return out
+    n_left = remaining.count()
+    if n_left == 0:
+        return out
+    if on_overflow == "fallback":
+        # The remaining set is closed under connectivity (anything
+        # touching a labeled vertex was swallowed by that BFS), so a
+        # src-side semi-join on the symmetric edge set is the exact
+        # induced remainder subgraph.
+        rest_edges = g.edges_by_src.join(
+            remaining.select(F.col("id").alias("src")), "src", "left_semi"
+        )
+        rest = connected_components(
+            Graph(
+                rest_edges,
+                num_partitions=g.num_partitions,
+                symmetric=True,
+            ),
+            symmetrize=False,
+        )
+        # vertices isolated within the remainder keep their own id
+        rest = remaining.select("id").join(rest, "id", "left").select(
+            "id", F.coalesce("comp", "id").alias("comp")
+        )
+        return out.unionAll(rest)
+    raise RuntimeError(
+        f"bfs_components hit max_comps={max_comps} with {n_left} vertices "
+        "still unlabeled — this graph has too many components for the "
+        "one-BFS-per-component schedule. Use connected_components() "
+        "(O(log) rounds independent of component count), raise "
+        "max_comps, or pass on_overflow='fallback'."
+    )

@@ -149,23 +149,28 @@ def csr_spmv(
         pos = np.clip(pos, 0, len(ids) - 1)
         found = ids[pos] == srcs
         deg = np.diff(indptr)
+        # a destination is LIVE iff it received >= 1 message from a
+        # frontier source — tracked by an explicit in-edge count, NOT
+        # by the combined value (a sum can be exactly 0.0 from zero or
+        # cancelling shares; min/max messages may themselves be ±inf),
+        # so pull emits exactly the rows the push plans emit
+        edge_live = np.repeat(found, deg)
+        live = (
+            np.bincount(inverse[edge_live], minlength=len(uniq_dsts)) > 0
+        )
         if combiner == "sum":
             src_share = np.where(found, share[pos], 0.0)
             # scatter: fan each src's share across its out-edges, then
             # pre-aggregate by destination (map-side combine)
             vals = np.repeat(src_share, deg)
             partial = np.bincount(inverse, weights=vals, minlength=len(uniq_dsts))
-            live = partial != 0.0
         else:
             # min/max: fan only live sources, ufunc.at pre-combine
-            live_src = found
-            vals = np.repeat(np.where(live_src, share[pos], 0.0), deg)
-            edge_live = np.repeat(live_src, deg)
+            vals = np.repeat(np.where(found, share[pos], 0.0), deg)
             fill = np.inf if combiner == "min" else -np.inf
             partial = np.full(len(uniq_dsts), fill)
             ufunc = np.minimum if combiner == "min" else np.maximum
             ufunc.at(partial, inverse[edge_live], vals[edge_live])
-            live = np.isfinite(partial)
         return pd.DataFrame({"id": uniq_dsts[live], "partial": partial[live]})
 
     tagged_state = state.withColumn(

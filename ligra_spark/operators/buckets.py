@@ -32,8 +32,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
+from typing import TYPE_CHECKING
+
 from ligra_spark.graph import Graph
+
+if TYPE_CHECKING:  # circular at runtime: _iter sits inside the
+    # algorithms package, whose __init__ imports setcover, which
+    # imports this module. Import lazily inside the functions instead.
+    from ligra_spark.algorithms._iter import IterMetrics
 from ligra_spark.operators.edge_map import edge_map, edge_map_count
 
 
@@ -75,6 +81,8 @@ def delta_stepping(
     Returns ``(id, dist DOUBLE)`` for reachable vertices. Requires
     non-negative weights (bucket monotonicity; the reference's uintE
     distances imply the same)."""
+    from ligra_spark.algorithms._iter import Timer, materialize
+
     if not graph.weighted:
         raise ValueError("delta_stepping requires a weighted graph (w column)")
     # state: dist + bucket key; bkt NULL = not pending (settled-for-now).
@@ -142,6 +150,8 @@ def kcore_bucketed(
     between occupied degree levels instead of scanning k = 1, 2, 3, …
 
     Returns ``(id, core LONG)`` over the symmetrized simple graph."""
+    from ligra_spark.algorithms._iter import Timer, materialize
+
     g = graph.symmetrized() if not graph.symmetric else graph
     state = materialize(
         g.degrees.select(

@@ -96,7 +96,14 @@ def edge_map(
         ``w``.
     message : Column expression evaluated per live edge.
     combiner : one of COMBINERS — the ``updateAtomic`` analog.
-    direction : 'auto' | 'broadcast' | 'shuffle'.
+    direction : 'auto' | 'broadcast' | 'shuffle' | 'pull'.
+        'pull' routes through the per-partition Arrow CSR SpMV kernel
+        (the edgeMapDense analog) and is RESTRICTED: ``message`` must
+        be a pure per-source expression (no ``dst``/``w`` references)
+        and ``combiner`` one of sum/min/max. 'auto' never selects it
+        in local mode — the per-round Arrow state transfer measured ~2x
+        slower than the JVM push plans there; it exists for API parity
+        and for cluster profiles where the JVM join is shuffle-bound.
     frontier_size : pass a known size to skip the stats job in 'auto'.
 
     Returns ``(id, msg)`` — one row per destination that received at

@@ -1418,7 +1418,8 @@ def q_embedding_dups(spark, sf_dir):
     value-for-value. Threshold 0.4 makes the check non-vacuous on the
     testdata embeddings (~30 surviving pairs at sf0.01)."""
     return embedding_dup_pairs(
-        _emb(spark, sf_dir), threshold=0.4, planes=4, tables=4, method="lsh"
+        _emb(spark, sf_dir), threshold=0.4, planes=4, tables=4,
+        method="lsh", dim=64,
     )
 
 
@@ -1460,45 +1461,68 @@ EMBEDDING_DUPS_SQL = _embedding_dups_lsh_sql()
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed approximate top-k. The oracle replays the
-    identical bucketing (hyperplane constants inlined) and rescoring, so
-    the driver verifies the approximate path value-for-value — recall
-    relative to exact top-k is characterized separately in pytest."""
+    """Multi-probe sign-LSH approximate top-k (planes=6, nprobe=3: own
+    bucket + the two closest-margin bit flips). The oracle replays the
+    identical bucketing AND probe selection (hyperplane constants
+    inlined, margins rounded 9dp with plane-index tie-break), so the
+    driver verifies the approximate path value-for-value — recall
+    relative to exact top-k is asserted separately in pytest."""
     emb = _emb(spark, sf_dir)
     queries = emb.orderBy("vec_id").limit(20)
-    res = lsh_bucket_topk(emb, queries, k=5, planes=6, dim=64)
+    res = lsh_bucket_topk(emb, queries, k=5, planes=6, nprobe=3, dim=64)
     return res.select(
         "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
     )
 
 
-def _lsh_topk_sql(k: int = 5, planes: int = 6, dim: int = 64) -> str:
+def _lsh_topk_sql(k: int = 5, planes: int = 6, dim: int = 64, nprobe: int = 3) -> str:
     from ligra_spark.functions.similarity import _hyperplane
 
-    bits = []
+    ips = []
     for p in range(planes):
         arr = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
-        bits.append(
-            f"(CASE WHEN list_inner_product(ev, {arr}) >= 0 "
-            f"THEN {1 << p} ELSE 0 END)"
-        )
-    bucket = " + ".join(bits)
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
-q AS (SELECT vec_id AS query_id, ev AS qv, bucket
+        ips.append(f"list_inner_product(ev, {arr})")
+    bucket = " + ".join(
+        f"(CASE WHEN {ip} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, ip in enumerate(ips)
+    )
+    # margin structs: {'m': round(|dot|, 9), 'p': plane} — list_sort
+    # orders lexicographically by field order = (margin, plane), the
+    # same deterministic probe order the Spark side uses
+    margins = ", ".join(
+        "{'m': ROUND(ABS(" + ip + "), 9), 'p': " + str(p) + "}"
+        for p, ip in enumerate(ips)
+    )
+    prefix = """
+WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                        FROM embeddings),
+b AS MATERIALIZED (SELECT vec_id, ev, __BUCKET__ AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, ev AS qv, bucket,
+             list_sort([__MARGINS__]) AS mg
       FROM b ORDER BY vec_id LIMIT 20),
+probes AS (
+  SELECT query_id, qv,
+         unnest(list_prepend(bucket,
+           list_transform(mg[1:__NFLIP__],
+                          s -> xor(bucket, 1 << s.p)))) AS bucket
+  FROM q),
 scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         list_cosine_similarity(q.qv, c.ev) AS sim
-  FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q.query_id),
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, c.ev) AS sim
+  FROM probes p JOIN b c USING (bucket) WHERE c.vec_id <> p.query_id),
 r AS (SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id ASC) AS rnk
       FROM scored)
 SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id
-FROM r WHERE rnk <= {k}
+FROM r WHERE rnk <= __K__
 """
+    return (
+        prefix.replace("__BUCKET__", bucket)
+        .replace("__MARGINS__", margins)
+        .replace("__NFLIP__", str(nprobe - 1))
+        .replace("__K__", str(k))
+    )
 
 
 LSH_TOPK_SQL = _lsh_topk_sql()
@@ -2051,6 +2075,22 @@ HYPER_BPATH_SQL = _hyper_bpath_sql()
 # --------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Registry order is coverage-priority order: the driver's
+    # correctness gate may stop early (r02 covered exactly the first 50
+    # entries), so entries with no historical driver-green row run
+    # FIRST. The r02-uncovered tail (multimodal, TPC-H trio, the whole
+    # ANN/embedding family) leads; long-green families (docs text/dedup,
+    # hyper) close the list.
+    "media_bytes_docs": q_media_bytes_docs,
+    "frame_sample_docs": q_frame_sample_docs,
+    "pricing_summary": q_pricing_summary,
+    "segment_spend": q_segment_spend,
+    "nation_revenue": q_nation_revenue,
+    "ann_topk": q_ann_topk,
+    "ann_topk_kernel": q_ann_topk_kernel,
+    "ivf_topk": q_ivf_topk,
+    "embedding_dups": q_embedding_dups,
+    "lsh_topk": q_lsh_topk,
     # graph engine over events-derived edge table
     "edges_events": q_edges_events,
     "degrees_events": q_degrees_events,
@@ -2105,18 +2145,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_jaccard_docs": q_lsh_jaccard_docs,
     "simhash_docs": q_simhash_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
-    "media_bytes_docs": q_media_bytes_docs,
-    "frame_sample_docs": q_frame_sample_docs,
-    # relational coverage over TPC-H-shaped tables
-    "pricing_summary": q_pricing_summary,
-    "segment_spend": q_segment_spend,
-    "nation_revenue": q_nation_revenue,
-    # embeddings: similarity search
-    "ann_topk": q_ann_topk,
-    "ann_topk_kernel": q_ann_topk_kernel,
-    "ivf_topk": q_ivf_topk,
-    "embedding_dups": q_embedding_dups,
-    "lsh_topk": q_lsh_topk,
 }
 
 

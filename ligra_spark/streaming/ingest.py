@@ -29,6 +29,7 @@ batch, not streaming fixpoints).
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,15 +44,45 @@ def stream_edges(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EDGE_SCHEMA).parquet(path)
 
 
-def make_degree_merger(state_dir: str, num_buckets: int = 32):
+def make_degree_merger(
+    state_dir: str, num_buckets: int = 32, run_token: str | None = None
+):
     """The foreachBatch merge function (exposed for direct testing of
-    replay idempotency and partition-pruned rewrites)."""
+    replay idempotency and partition-pruned rewrites).
+
+    ``run_token`` scopes the replay guard: epoch_ids are only
+    meaningful RELATIVE to one checkpoint location (a stream restarted
+    with a fresh checkpoint_dir against the same state_dir starts over
+    at epoch 0 — those are NEW batches, not replays, and skipping them
+    up to the old committed epoch would silently corrupt the degree
+    state). ``incremental_degrees`` passes the checkpoint path as the
+    token; the manifest records (token, epoch) and a batch is skipped
+    only when BOTH match. A token mismatch raises instead of guessing:
+    the caller must either reuse the original checkpoint_dir (resume)
+    or start a fresh state_dir (reset)."""
     state_path = str(Path(state_dir) / "degrees")
     manifest = Path(state_dir) / "_committed_epoch"
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
         s = batch.sparkSession
-        committed = int(manifest.read_text()) if manifest.exists() else -1
+        committed = -1
+        if manifest.exists():
+            raw = manifest.read_text()
+            try:
+                rec = json.loads(raw)
+                rec_token, committed = rec.get("token"), int(rec["epoch"])
+            except (ValueError, KeyError, TypeError):
+                # legacy plain-int manifest: no token recorded
+                rec_token, committed = None, int(raw)
+            if rec_token != run_token:
+                raise RuntimeError(
+                    f"degree state at {state_dir} was committed by a "
+                    f"different stream (token {rec_token!r}, now "
+                    f"{run_token!r}): epoch_ids are checkpoint-scoped, so "
+                    "the replay guard cannot tell replays from new "
+                    "batches. Resume with the ORIGINAL checkpoint_dir, "
+                    "or point the stream at a fresh state_dir."
+                )
         if epoch_id <= committed:
             return  # at-least-once replay of an already-merged batch
         out_d = batch.groupBy(F.col("src").alias("id")).agg(
@@ -97,7 +128,9 @@ def make_degree_merger(state_dir: str, num_buckets: int = 32):
         finally:
             s.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
             delta.unpersist()
-        manifest.write_text(str(epoch_id))
+        manifest.write_text(
+            json.dumps({"token": run_token, "epoch": epoch_id})
+        )
 
     return merge
 
@@ -115,7 +148,12 @@ def incremental_degrees(
     docstring). Returns the finished StreamingQuery (availableNow mode
     drains what exists and stops — the test/backfill mode; pass False
     for a continuous run)."""
-    merge = make_degree_merger(state_dir, num_buckets)
+    # the checkpoint path IS the epoch-id scope — recording it in the
+    # manifest lets the replay guard distinguish a genuine replay (same
+    # checkpoint) from a fresh stream reusing the state_dir
+    merge = make_degree_merger(
+        state_dir, num_buckets, run_token=str(checkpoint_dir)
+    )
     writer = (
         edges_stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)

@@ -99,3 +99,25 @@ def test_kcore_cliques(mk_graph):
     got = {r["id"]: r["core"] for r in kcore(g).collect()}
     assert got == kcore_oracle(edges)
     g.unpersist()
+
+
+def test_bfs_components_overflow_guard(mk_graph):
+    # 100 disjoint 2-vertex components; the one-BFS-per-component
+    # schedule must refuse to silently truncate when capped below that.
+    import pytest
+
+    from ligra_spark.algorithms import bfs_components, connected_components
+
+    edges = [(2 * i, 2 * i + 1) for i in range(100)]
+    g = mk_graph(edges)
+    with pytest.raises(RuntimeError, match="max_comps"):
+        bfs_components(g, max_comps=3)
+    # fallback path labels the remainder via connected_components and
+    # matches the O(log)-round engine exactly
+    got = {
+        r["id"]: r["comp"]
+        for r in bfs_components(g, max_comps=3, on_overflow="fallback").collect()
+    }
+    want = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+    assert got == want
+    g.unpersist()

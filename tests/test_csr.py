@@ -110,3 +110,34 @@ def test_edge_map_pull_src_message(spark):
            edge_map(g, None, message="src", combiner="min", direction="pull").collect()}
     assert got == {1: 5, 2: 5}
     g.unpersist()
+
+
+def test_edge_map_pull_zero_share_destinations(spark):
+    """A destination whose messages sum to exactly 0.0 (zero shares, or
+    cancelling +x/-x) must still be emitted — 'one row per destination
+    that received at least one message' is membership, not value."""
+    from pyspark.sql import functions as F
+    from ligra_spark.graph import Graph
+    from ligra_spark.operators import edge_map
+
+    # dst 1 gets 0.0 from src 5; dst 2 gets +3 and -3 (cancel); dst 3
+    # gets 1.0 (control)
+    g = Graph(
+        spark.createDataFrame(
+            [(5, 1), (6, 2), (7, 2), (8, 3)], "src long, dst long"
+        ),
+        num_partitions=2,
+    )
+    frontier = spark.createDataFrame(
+        [(5, 0.0), (6, 3.0), (7, -3.0), (8, 1.0)], "id long, x double"
+    )
+    for direction in ("pull", "shuffle"):
+        got = {
+            r["id"]: r["msg"]
+            for r in edge_map(
+                g, frontier, message=F.col("x"), combiner="sum",
+                direction=direction,
+            ).collect()
+        }
+        assert got == {1: 0.0, 2: 0.0, 3: 1.0}, direction
+    g.unpersist()

@@ -18,3 +18,45 @@ def test_ivf_topk_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall@5 = {recall}"
+
+
+def test_lsh_multiprobe_recall_vs_exact(spark):
+    """Multi-probe sign-LSH recall@5 vs exact cosine top-5.
+
+    The testdata embeddings are ~uniform random unit vectors (measured:
+    unit norms, corpus mean norm 0.04), so the true top-5 sit barely
+    above the cosine noise floor and ANY data-oblivious angular hash
+    has expected recall ≈ fraction of corpus scanned — that is a data
+    property, not an implementation defect (IVF beats it only because
+    its Lloyd cells are data-DEPENDENT). Measured here (sf0.001):
+    planes=6 nprobe 1→3→7 gives recall 0.04→0.08→0.23 at scan
+    fractions 0.02→0.05→0.11, i.e. multi-probe multiplies recall
+    ~linearly in probes exactly as the theory says. So this test
+    asserts (a) recall ≥ 0.5 at a probe budget where that is
+    achievable (planes=3, nprobe=4 → ~50% scanned, measured 0.62),
+    and (b) the multi-probe monotonicity that justifies the machinery
+    at the scale-shaped settings the registered query uses."""
+    from ligra_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(planes, nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_bucket_topk(
+                emb, queries, k=5, planes=planes, nprobe=nprobe, dim=64
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    assert recall(3, 4) >= 0.5
+    # scale-shaped settings (the q_lsh_topk config is planes=6,
+    # nprobe=3): more probes must never lose recall
+    r1, r3, r7 = recall(6, 1), recall(6, 3), recall(6, 7)
+    assert r1 <= r3 <= r7, (r1, r3, r7)
+    assert r7 >= 2 * r1, f"multi-probe gave no lift: {r1} -> {r7}"

@@ -145,3 +145,29 @@ def test_windowed_edge_rates_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert got[(0, 0)] == (2, 2) and got[(10, 0)] == (1, 1)
+
+
+def test_merge_guard_rejects_foreign_checkpoint(spark, tmp_path):
+    """epoch_ids are checkpoint-scoped: a fresh stream (new token)
+    reusing an existing state_dir must raise — its epoch 0 is a NEW
+    batch, and silently skipping it up to the old committed epoch
+    would corrupt the degree state."""
+    import pytest
+
+    from ligra_spark.streaming import make_degree_merger
+
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame([(0, 1)], "src long, dst long")
+    make_degree_merger(state, num_buckets=4, run_token="ckpt-A")(batch, 5)
+    # same token: replay of epoch <= 5 skipped, epoch 6 merges
+    merge_a = make_degree_merger(state, num_buckets=4, run_token="ckpt-A")
+    merge_a(batch, 5)
+    merge_a(batch, 6)
+    got = {
+        r["id"]: (r["out_deg"], r["in_deg"])
+        for r in spark.read.parquet(state + "/degrees").collect()
+    }
+    assert got == {0: (2, 0), 1: (0, 2)}
+    # different token: stale manifest -> explicit error, state untouched
+    with pytest.raises(RuntimeError, match="checkpoint"):
+        make_degree_merger(state, num_buckets=4, run_token="ckpt-B")(batch, 0)
