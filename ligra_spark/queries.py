@@ -71,6 +71,9 @@ from ligra_spark.sources.events import (
     EVENT_TYPE_GRAPH_SQL,
     HYPER_INCIDENCE_DIRECTED_SQL,
     HYPER_INCIDENCE_SQL,
+    MID_GRAPH_SQL,
+    MID_KEEP,
+    MID_M,
     MOD_GRAPH_SQL,
     edges_from_events,
     event_type_graph,
@@ -371,6 +374,107 @@ def q_sssp_delta_mod(spark, sf_dir):
     g = _mod_graph(spark, sf_dir, weighted=True)
     root = g.vertices.agg(F.min("id")).first()[0]
     return delta_stepping(g, root, delta=3.0)
+
+
+# --------------------------------------------------------------------------
+# mid-size fixture (VERDICT r02 item 6): same construction folded onto
+# 4096 residues with a looser thin — ~3k vertices / ~2.5k edges at
+# sf0.01, giant component ~800, root eccentricity ~36, max weighted
+# shortest-path distance 189. Big enough that multi-round convergence,
+# frontier bookkeeping, and label contraction run tens of rounds (the
+# size-dependent regime the 64-vertex graph can't reach); small enough
+# for recursive-CTE DuckDB oracles. Symmetrized up front: the directed
+# fold leaves the min root with no out-edges.
+# --------------------------------------------------------------------------
+
+def _mid_graph(spark, sf_dir, weighted=False):
+    edges = mod_graph_edges(_events(spark, sf_dir), m=MID_M, keep=MID_KEEP)
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if weighted:
+        sym = sym.withColumn(
+            "w", ((F.col("src") + 2 * F.col("dst")) % 9 + 1).cast("double")
+        )
+    return Graph(sym, symmetric=True, num_partitions=8)
+
+
+_MID_SYM_SQL = f"""
+WITH RECURSIVE base AS ({MID_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+root AS (SELECT MIN(id) AS id FROM v)
+"""
+
+
+def q_cc_mid(spark, sf_dir):
+    """Hash-min components (Components.C) at mid scale — exercises the
+    contraction + pointer-jump schedule over hundreds of components
+    including one giant one, vs a pruned label-reachability oracle."""
+    return connected_components(_mid_graph(spark, sf_dir), symmetrize=False)
+
+
+CC_MID_SQL = f"""{_MID_SYM_SQL},
+r(id, lab) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.id WHERE r.lab < e.dst
+)
+SELECT id, MIN(lab) AS comp FROM r GROUP BY id
+"""
+
+
+def q_bfs_mid(spark, sf_dir):
+    """Unweighted BFS (BFS.C) from the min vertex at mid scale — ~36
+    frontier rounds (vs 3-4 on the small fixtures)."""
+    g = _mid_graph(spark, sf_dir)
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return bfs(g, root).select("id", F.col("dist").cast("long").alias("dist"))
+
+
+BFS_MID_SQL = f"""{_MID_SYM_SQL},
+r(id, dist) AS (
+  SELECT id, 0 FROM root
+  UNION
+  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.id WHERE r.dist < 64
+)
+SELECT id, MIN(dist) AS dist FROM r GROUP BY id
+"""
+
+
+def q_bellman_ford_mid(spark, sf_dir):
+    """Weighted SSSP (BellmanFord.C) at mid scale, w=(src+2*dst)%9+1
+    per directed edge of the symmetrized graph; max shortest-path
+    distance 189 → the relaxation runs tens of improvement waves."""
+    g = _mid_graph(spark, sf_dir, weighted=True)
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return bellman_ford(g, root)
+
+
+# recursion enumerates distinct (vertex, path-sum) pairs; sums are
+# integers < 250+9 so the state is ≤ |reachable|×259 — prefix sums of
+# any shortest path are ≤ 189, comfortably under the cutoff
+BF_MID_SQL = f"""{_MID_SYM_SQL},
+w AS (SELECT src, dst, CAST((src + 2 * dst) % 9 + 1 AS DOUBLE) AS wt FROM e),
+r(id, dist) AS (
+  SELECT id, CAST(0 AS DOUBLE) FROM root
+  UNION
+  SELECT w.dst, r.dist + w.wt FROM r JOIN w ON w.src = r.id WHERE r.dist < 250
+)
+SELECT id, MIN(dist) AS dist FROM r GROUP BY id
+"""
+
+
+def q_sssp_delta_mid(spark, sf_dir):
+    """Delta-stepping (apps/bucketing/DeltaStepping.C) at mid scale —
+    same graph/weights/source as bellman_ford_mid (shared oracle); with
+    dist ≤ 189 and delta=24 the bucket scheduler pops ~8 buckets with
+    real light-edge reentry inside each."""
+    from ligra_spark.operators.buckets import delta_stepping
+
+    g = _mid_graph(spark, sf_dir, weighted=True)
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return delta_stepping(g, root, delta=24.0)
 
 
 def q_kcore_mod(spark, sf_dir):
@@ -2081,6 +2185,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST. The r02-uncovered tail (multimodal, TPC-H trio, the whole
     # ANN/embedding family) leads; long-green families (docs text/dedup,
     # hyper) close the list.
+    # mid-size fixture (new in r03 — never driver-covered)
+    "cc_mid": q_cc_mid,
+    "bfs_mid": q_bfs_mid,
+    "bellman_ford_mid": q_bellman_ford_mid,
+    "sssp_delta_mid": q_sssp_delta_mid,
     "media_bytes_docs": q_media_bytes_docs,
     "frame_sample_docs": q_frame_sample_docs,
     "pricing_summary": q_pricing_summary,
@@ -2194,6 +2303,10 @@ def _isolated(fn):
 QUERIES = {name: _isolated(fn) for name, fn in QUERIES.items()}
 
 ORACLE_SQL: dict[str, str] = {
+    "cc_mid": CC_MID_SQL,
+    "bfs_mid": BFS_MID_SQL,
+    "bellman_ford_mid": BF_MID_SQL,
+    "sssp_delta_mid": BF_MID_SQL,
     "edges_events": EDGES_FROM_EVENTS_SQL,
     "degrees_events": DEGREES_SQL,
     "cc_events": CC_EVENTS_SQL,

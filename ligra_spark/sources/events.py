@@ -67,14 +67,30 @@ def mod_graph_edges(events: DataFrame, m: int = 64, keep: int = 5) -> DataFrame:
     )
 
 
-MOD_GRAPH_SQL = """
-  SELECT DISTINCT a % 64 AS src, b % 64 AS dst
+def mod_graph_sql(m: int = 64, keep: int = 5) -> str:
+    """DuckDB SQL producing the identical graph to ``mod_graph_edges``
+    for the given fold/thin parameters (pure integer arithmetic, so the
+    engines agree bit-for-bit)."""
+    return f"""
+  SELECT DISTINCT a % {m} AS src, b % {m} AS dst
   FROM (SELECT event_id AS a,
                lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
         FROM events) l
-  WHERE b IS NOT NULL AND a % 64 <> b % 64
-    AND ((a % 64) * 31 + (b % 64)) % 101 < 5
+  WHERE b IS NOT NULL AND a % {m} <> b % {m}
+    AND ((a % {m}) * 31 + (b % {m})) % 101 < {keep}
 """
+
+
+MOD_GRAPH_SQL = mod_graph_sql(64, 5)
+
+# mid-size oracle fixture (VERDICT r02 item 6): the 64-vertex mod graph
+# can't catch size-dependent bugs; folding onto 4096 residues with a
+# looser thin gives ~3k vertices / ~2.5k edges at sf0.01 with a giant
+# component of ~800 and root eccentricity ~36 — big enough for distance
+# / component structure to stress multi-round convergence, small enough
+# for recursive-CTE DuckDB oracles.
+MID_M, MID_KEEP = 4096, 25
+MID_GRAPH_SQL = mod_graph_sql(MID_M, MID_KEEP)
 
 
 def event_type_graph(events: DataFrame) -> DataFrame:
