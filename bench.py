@@ -40,6 +40,7 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from ligra_spark.algorithms import (  # noqa: E402
+    cc_contract_local,
     connected_components,
     label_propagation,
     pagerank,
@@ -81,10 +82,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    spreads: dict[str, list[float]] = {}
+
+    def timed(name, fn, trials: int = 1):
+        """Time ``fn``; with ``trials > 1`` (cheap queries only) rerun
+        and record min + the per-trial spread, so a regression can be
+        told apart from a host-noise burst (VERDICT r02 item 8)."""
+        walls = []
+        out = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            out = fn()
+            walls.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(walls)
+        if trials > 1:
+            spreads[name] = walls
         return out
 
     # ---- transcript-derived link graph (the north-star input) -------------
@@ -116,17 +128,20 @@ def main() -> None:
         if _want("cc_transcripts"):
             from ligra_spark.algorithms._iter import IterMetrics
 
+            # partition-local Arrow contraction (cc_contract_local):
+            # same min-id fixpoint as connected_components (oracle- and
+            # parity-verified), one kernel pass + one edge-sized
+            # sort-shuffle instead of ~5 shuffles × O(log) rounds
             cc_m = IterMetrics()
             timed(
                 "cc_transcripts",
-                lambda: connected_components(g, metrics=cc_m).count(),
+                lambda: cc_contract_local(g, metrics=cc_m).count(),
             )
-            extras["cc_edges_per_sec"] = round(
-                2 * m / timings["cc_transcripts"], 1
-            )  # symmetrized
+            extras["cc_edges_per_sec"] = round(m / timings["cc_transcripts"], 1)
             extras["cc_iter_walls"] = [
                 round(r.get("wall_s", 0.0), 2) for r in cc_m.rounds
             ]
+            extras["cc_residuals"] = [r.get("residual") for r in cc_m.rounds]
         if _want("lp_transcripts"):
             timed("lp_transcripts", lambda: label_propagation(g, max_iters=5).count())
         g.unpersist()
@@ -150,14 +165,18 @@ def main() -> None:
         if _want("pagerank_events"):
             timed("pagerank_events", lambda: pagerank(ev, max_iters=PR_ITERS).count())
         if _want("cc_events"):
-            timed("cc_events", lambda: connected_components(ev).count())
+            timed("cc_events", lambda: connected_components(ev).count(), trials=3)
         ev.unpersist()
 
     # ---- training-data pipeline ops ----------------------------------------
     if _want("minhash_lsh_docs"):
-        timed("minhash_lsh_docs", lambda: q_minhash_lsh_docs(spark, SF_DIR).count())
+        timed(
+            "minhash_lsh_docs",
+            lambda: q_minhash_lsh_docs(spark, SF_DIR).count(),
+            trials=3,
+        )
     if _want("ann_topk"):
-        timed("ann_topk", lambda: q_ann_topk(spark, SF_DIR).count())
+        timed("ann_topk", lambda: q_ann_topk(spark, SF_DIR).count(), trials=3)
 
     # ---- CPU-dense Arrow-kernel similarity search ---------------------------
     # (synthetic embeddings sized by sf; compute runs in per-core Python
@@ -193,7 +212,7 @@ def main() -> None:
         )
         emb.count()
         qs = emb.where(f"vec_id < {ann_q}")
-        timed("ann_kernel", lambda: cosine_topk_kernel(emb, qs, k=5).count())
+        timed("ann_kernel", lambda: cosine_topk_kernel(emb, qs, k=5).count(), trials=3)
         extras["ann_kernel_vectors"] = ann_n
         emb.unpersist()
 
@@ -205,6 +224,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spreads,
                 "sf": sf,
                 "cpus": CPUS,
                 "extras": extras,

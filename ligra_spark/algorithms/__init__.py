@@ -23,7 +23,7 @@ __all__ = [
     "triangle_count",
     "triangles_per_vertex",
 ]
-from ligra_spark.algorithms.components import bfs_components
+from ligra_spark.algorithms.components import bfs_components, cc_contract_local
 from ligra_spark.algorithms.eccentricity import (
     fm_ecc,
     loglog_ecc,

@@ -91,6 +91,16 @@ class Graph:
             edges = truncate_plan(edges)
             self._edges_ckpt = edges
 
+        # The edge table in its AS-DERIVED partitioning, before the
+        # src/dst repartitions below. Derivations that are already
+        # entity-local (derive_edges windows by conv_id, so no edge
+        # crosses a partition's conversations) keep that locality here;
+        # partition-local operators (cc_contract_local) exploit it to
+        # finish in one contraction round. Cached iff the load-time
+        # truncation above fired; otherwise it re-runs the derivation
+        # (one extra pass — only partition-local consumers read it).
+        self.edges_derived = edges.select(cols)
+
         # Out-CSR analog: partitioned by src so state⋈edges is local.
         self.edges_by_src = edges.repartition(num_partitions, "src").select(cols)
         if persist:
@@ -203,6 +213,7 @@ class Graph:
         )
         g.edges_by_src = self.edges_by_dst.select(cols)
         g.edges_by_dst = self.edges_by_src.select(cols)
+        g.edges_derived = self.edges_derived.select(cols)
         g._vertices = self._vertices
         g._n = self._n
         g._m = self._m

@@ -33,6 +33,7 @@ from ligra_spark.algorithms import (
     bellman_ford,
     betweenness_from_source,
     bfs,
+    cc_contract_local,
     connected_components,
     kcore,
     label_propagation,
@@ -143,6 +144,12 @@ SELECT event_id AS id, MIN(event_id) OVER (PARTITION BY user_id) AS comp
 FROM events
 WHERE user_id IN (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 2)
 """
+
+
+def q_cc_local_events(spark, sf_dir):
+    """Partition-local Arrow contraction CC on the event-chain graph —
+    shares cc_events' closed-form oracle (min event per user)."""
+    return cc_contract_local(_events_graph(spark, sf_dir))
 
 
 def q_pagerank_iter1_events(spark, sf_dir):
@@ -412,6 +419,15 @@ def q_cc_mid(spark, sf_dir):
     contraction + pointer-jump schedule over hundreds of components
     including one giant one, vs a pruned label-reachability oracle."""
     return connected_components(_mid_graph(spark, sf_dir), symmetrize=False)
+
+
+def q_cc_local_mid(spark, sf_dir):
+    """Partition-local Arrow contraction CC (cc_contract_local) on the
+    mid graph — same min-id fixpoint as cc_mid (shared oracle);
+    agreement verifies the contraction/coupling/resolution schedule
+    end-to-end, including the stall fallback path on a layout with no
+    partition locality."""
+    return cc_contract_local(_mid_graph(spark, sf_dir))
 
 
 CC_MID_SQL = f"""{_MID_SYM_SQL},
@@ -2187,6 +2203,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hyper) close the list.
     # mid-size fixture (new in r03 — never driver-covered)
     "cc_mid": q_cc_mid,
+    "cc_local_mid": q_cc_local_mid,
+    "cc_local_events": q_cc_local_events,
     "bfs_mid": q_bfs_mid,
     "bellman_ford_mid": q_bellman_ford_mid,
     "sssp_delta_mid": q_sssp_delta_mid,
@@ -2304,6 +2322,8 @@ QUERIES = {name: _isolated(fn) for name, fn in QUERIES.items()}
 
 ORACLE_SQL: dict[str, str] = {
     "cc_mid": CC_MID_SQL,
+    "cc_local_mid": CC_MID_SQL,
+    "cc_local_events": CC_EVENTS_SQL,
     "bfs_mid": BFS_MID_SQL,
     "bellman_ford_mid": BF_MID_SQL,
     "sssp_delta_mid": BF_MID_SQL,

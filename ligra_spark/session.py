@@ -62,6 +62,16 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Ship the package to Python workers (the `spark-submit --py-files
+    # ligra_spark.zip` analog): module-level kernel functions (e.g. the
+    # distributed transcript generator) pickle by REFERENCE, so worker
+    # processes must be able to `import ligra_spark` even when the
+    # driver script runs from an unrelated cwd.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pp = conf.get("spark.executorEnv.PYTHONPATH", "")
+    conf["spark.executorEnv.PYTHONPATH"] = (
+        f"{pkg_root}:{worker_pp}" if worker_pp else pkg_root
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -121,3 +121,55 @@ def test_bfs_components_overflow_guard(mk_graph):
     want = {r["id"]: r["comp"] for r in connected_components(g).collect()}
     assert got == want
     g.unpersist()
+
+
+# ---- cc_contract_local: partition-local Arrow contraction ------------------
+
+
+def _ccl_check(mk_graph, edges, **kw):
+    from ligra_spark.algorithms import cc_contract_local
+
+    g = mk_graph(edges)
+    got = {r["id"]: r["comp"] for r in cc_contract_local(g, **kw).collect()}
+    assert got == components_oracle(edges)
+    g.unpersist()
+
+
+def test_ccl_two_components(mk_graph):
+    _ccl_check(mk_graph, TWO_COMPONENTS)
+
+
+def test_ccl_chain(mk_graph):
+    _ccl_check(mk_graph, CHAIN_64)
+
+
+def test_ccl_star(mk_graph):
+    _ccl_check(mk_graph, STAR_HUB)
+
+
+def test_ccl_self_loops_dups(mk_graph):
+    _ccl_check(mk_graph, SELF_LOOPS_DUPS)
+
+
+def test_ccl_scattered_path_stall_fallback(mk_graph):
+    """A long path with shuffled ids scattered over partitions is the
+    worst case for local contraction (residual shrinks by a constant
+    per round); the stall detector must hand the contracted residual to
+    hash-min and still produce the exact min-id labeling."""
+    import random
+
+    rng = random.Random(11)
+    ids = list(range(0, 4000, 2))
+    rng.shuffle(ids)
+    edges = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    # stall_ratio=0 forces the fallback on the very first non-improving
+    # round, exercising the hash-min handoff + mapping composition
+    _ccl_check(mk_graph, edges, stall_ratio=0.0)
+
+
+def test_ccl_empty(spark):
+    from ligra_spark.algorithms import cc_contract_local
+    from ligra_spark.graph import Graph
+
+    g = Graph(spark.createDataFrame([], "src long, dst long"), num_partitions=2)
+    assert cc_contract_local(g).count() == 0
