@@ -27,6 +27,7 @@ from ligra_spark.algorithms.components import bfs_components, cc_contract_local
 from ligra_spark.algorithms.eccentricity import (
     fm_ecc,
     loglog_ecc,
+    rv_ecc,
     simple_approx_ecc,
     tk_ecc,
 )

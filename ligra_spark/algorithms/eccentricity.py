@@ -287,3 +287,222 @@ def tk_ecc(
         if metrics is not None:
             metrics.record(it, remaining=n_left, wall_s=timer.lap())
     return done
+
+
+def _multi_root_bfs(g: Graph, roots: DataFrame) -> DataFrame:
+    """``(root, id, dist)`` — per-root BFS distances from every row of
+    ``roots`` (column ``root``), all roots advancing in ONE synchronous
+    fixpoint. The reference runs its sample/neighborhood BFSes serially
+    (RV.C:176-188, 276-284); batching them keys the frontier by
+    (root, id) instead, trading state size for fixpoint count — the
+    right trade on Spark, where each round is a scheduled job."""
+    vis = materialize(
+        roots.select("root", F.col("root").alias("id"), F.lit(0).alias("dist"))
+    )
+    r = 0
+    while True:
+        frontier = vis.where(F.col("dist") == r)
+        msgs = (
+            frontier.select("root", F.col("id").alias("src"))
+            .join(g.edges_by_src, "src")
+            .select("root", F.col("dst").alias("id"))
+            .distinct()
+        )
+        new = msgs.join(vis.select("root", "id"), ["root", "id"], "left_anti")
+        vis_next = materialize(
+            vis.unionAll(new.select("root", "id", F.lit(r + 1).alias("dist"))),
+            vis,
+        )
+        n_new = vis_next.where(F.col("dist") == r + 1).count()
+        vis = vis_next
+        r += 1
+        if n_new == 0:
+            return vis
+
+
+def rv_ecc(
+    graph: Graph,
+    keep: int = 25,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """``(id, radius INT)`` — eccentricity estimates by the
+    Roditty-Vassilevska-Williams sampling scheme (apps/eccentricity/
+    RV.C:83-326), with every source of run-to-run nondeterminism
+    PINNED so the output is a deterministic function of the graph
+    (the FM-Ecc/LogLog-Ecc treatment, VERDICT r02 item 9):
+
+    - RV.C:89 seeds from ``time(NULL)``; the sample membership test
+      ``hashInt(i+seed) % CCsize < sampleSize`` (RV.C:164-169) becomes
+      the pinned arithmetic stream ``(id*31 + 7) % 101 < keep`` —
+      expected rate keep/101 ≈ the reference's sampleSize/CCsize — and
+      the sample always contains the component's min id (the
+      reference's non-empty forcing, RV.C:172).
+    - ``Ngh_s`` (the √(n log n) neighborhood of w) is the first
+      nghSize vertices in BFS order from w; the reference takes them
+      in frontier order, nondeterministic within a level
+      (RV.C:249-256, and the comment at RV.C:248-249 documents it);
+      here the order is (level, id) — deterministic.
+    - each vertex's guide into Ngh_s is inherited from its MIN-ID BFS
+      parent rather than the CAS-winning parent (RV.C:56-64).
+
+    Exact-BFS phases (samples, w, Ngh_s — RV.C:176-188, 243-284) and
+    the estimate formula rv = max(maxDist_S(v), d(w,v)); use ecc(vt)
+    when d(vt,v) ≤ d(vt,w), else the sample's min radius
+    (RV.C:291-306) follow the reference unchanged. Components of size
+    1 / 2 short-circuit to 0 / 1 (RV.C:153-156); components whose size
+    ≤ nghSize get fully exact eccentricities (everything lands in
+    Ngh_s)."""
+    from pyspark.sql import Window
+
+    from ligra_spark.algorithms.components import cc_contract_local
+
+    g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
+    comps = cc_contract_local(g)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("csz"))
+    comps = materialize(comps.join(sizes, "comp"))
+
+    small = comps.where(F.col("csz") <= 2).select(
+        "id", F.when(F.col("csz") == 1, 0).otherwise(1).alias("radius")
+    )
+    big = comps.where(F.col("csz") >= 3)
+
+    if big.isEmpty():
+        return small.select("id", F.col("radius").cast("int").alias("radius"))
+
+    # --- sample S: pinned stream + forced min-id member (comp == min id)
+    S = big.where(
+        ((F.col("id") * 31 + 7) % 101 < keep) | (F.col("id") == F.col("comp"))
+    ).select(F.col("id").alias("root"), "comp")
+    S = materialize(S)
+    distS = _multi_root_bfs(g, S)
+    eccS = distS.groupBy("root").agg(F.max("dist").alias("ecc"))
+    per_v = distS.groupBy("id").agg(
+        F.max("dist").alias("maxd"), F.min("dist").alias("mind")
+    )
+
+    # --- w: furthest vertex from the sample set (argmax of min-dist)
+    wv = Window.partitionBy("comp").orderBy(
+        F.col("mind").desc(), F.col("id").asc()
+    )
+    W = materialize(
+        big.join(per_v, "id")
+        .withColumn("_rn", F.row_number().over(wv))
+        .where(F.col("_rn") == 1)
+        .select(F.col("id").alias("root"), "comp")
+    )
+    distW = _multi_root_bfs(g, W)
+    eccW = distW.groupBy("root").agg(F.max("dist").alias("ecc"))
+
+    # --- Ngh_s: first nghSize vertices in (level, id) BFS order from w
+    scal = sizes.where(F.col("csz") >= 3).select(
+        "comp",
+        "csz",
+        F.least(
+            F.col("csz"),
+            F.greatest(
+                F.lit(10),
+                F.floor(F.sqrt(F.col("csz") * F.log2(F.col("csz")))),
+            ),
+        ).alias("ngh"),
+    )
+    dW = distW.join(W, "root")  # (root=w, id, dist, comp)
+    nw = Window.partitionBy("comp").orderBy(F.col("dist").asc(), F.col("id").asc())
+    N = materialize(
+        dW.withColumn("_rn", F.row_number().over(nw))
+        .join(scal.select("comp", "ngh"), "comp")
+        .where(F.col("_rn") <= F.col("ngh"))
+        .select(F.col("id").alias("root"), "comp")
+    )
+    distN = _multi_root_bfs(g, N)
+    eccN = distN.groupBy("root").agg(F.max("dist").alias("ecc"))
+
+    # --- guide: nearest Ngh_s ancestor along the min-parent BFS tree
+    par = (
+        g.edges_by_src.join(
+            dW.select(F.col("id").alias("src"), F.col("dist").alias("ds")), "src"
+        )
+        .join(dW.select(F.col("id").alias("dst"), F.col("dist").alias("dd")), "dst")
+        .where(F.col("ds") == F.col("dd") - 1)
+        .groupBy("dst")
+        .agg(F.min("src").alias("parent"))
+    )
+    n_ids = N.select(F.col("root").alias("id"), F.lit(True).alias("in_n"))
+    guide = materialize(
+        dW.select("id")
+        .join(n_ids, "id", "left")
+        .join(par.withColumnRenamed("dst", "id"), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("in_n"), F.col("id"))
+            .otherwise(F.col("parent"))
+            .alias("g"),
+        )
+    )
+    while True:
+        # pointer doubling toward the absorbing Ngh_s set
+        unresolved = guide.join(
+            n_ids.select(F.col("id").alias("g"), F.col("in_n").alias("gn")),
+            "g",
+            "left",
+        )
+        n_open = unresolved.where(F.col("gn").isNull()).count()
+        if n_open == 0:
+            break
+        hop = guide.select(F.col("id").alias("g"), F.col("g").alias("g2"))
+        guide = materialize(
+            guide.join(hop, "g", "left").select(
+                "id", F.coalesce("g2", "g").alias("g")
+            ),
+            guide,
+        )
+
+    # --- assemble: exact (S ∪ {w} ∪ Ngh_s), then estimates for the rest
+    exact = materialize(
+        S.select("root", F.lit(None).alias("_"))
+        .join(eccS, "root")
+        .select(F.col("root").alias("id"), "ecc")
+        .unionAll(W.join(eccW, "root").select(F.col("root").alias("id"), "ecc"))
+        .unionAll(N.join(eccN, "root").select(F.col("root").alias("id"), "ecc"))
+        .groupBy("id")
+        .agg(F.min("ecc").alias("radius"))
+    )
+
+    min_r = (
+        S.join(eccS, "root").groupBy("comp").agg(F.min("ecc").alias("minr"))
+    )
+    w_of_comp = W.select("comp", F.col("root").alias("wid"))
+    d_vt_w = (
+        distN.join(w_of_comp, distN["id"] == w_of_comp["wid"])
+        .select(F.col("root").alias("vt"), F.col("dist").alias("dvtw"))
+    )
+    est = (
+        big.join(exact.select("id"), "id", "left_anti")
+        .join(per_v.select("id", "maxd"), "id")
+        .join(distW.select("id", F.col("dist").alias("dw")), "id")
+        .join(guide.select("id", F.col("g").alias("vt")), "id")
+        .join(min_r, "comp")
+        .join(w_of_comp, "comp")
+        .join(
+            distN.select(
+                F.col("root").alias("vt"),
+                F.col("id").alias("id"),
+                F.col("dist").alias("dvtv"),
+            ),
+            ["vt", "id"],
+        )
+        .join(d_vt_w, "vt")
+        .join(eccN.select(F.col("root").alias("vt"), F.col("ecc").alias("evt")), "vt")
+        .select(
+            "id",
+            F.greatest(
+                F.greatest("maxd", "dw"),
+                F.when(F.col("dvtv") <= F.col("dvtw"), F.col("evt")).otherwise(
+                    F.col("minr")
+                ),
+            ).alias("radius"),
+        )
+    )
+    return (
+        small.unionAll(exact.select("id", "radius")).unionAll(est)
+        .select("id", F.col("radius").cast("int").alias("radius"))
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
 from ligra_spark.graph import Graph
+from ligra_spark.operators.vertex_ops import vertex_map
 
 
 def pagerank(
@@ -67,14 +68,15 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("share").alias("contrib"))
         )
-        nxt = state.join(contribs, "id", "left").select(
-            "id",
-            "out_deg",
-            "rank",
-            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
-                "rank_next"
-            ),
-        )
+        # PR_Vertex_F (PageRank.C:44-56) as a vertex_map: the damped
+        # rank update is a pure columnar expression over gathered state
+        nxt = vertex_map(
+            state.join(contribs, "id", "left"),
+            {
+                "rank_next": F.lit(base)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            },
+        ).select("id", "out_deg", "rank", "rank_next")
         # Materialize EVERY iteration. (A persist()-based fast path was
         # tried and removed: DataFrame.unpersist cascades, dropping the
         # dependent iteration's cache, so each round recomputed the whole

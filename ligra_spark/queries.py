@@ -648,6 +648,96 @@ def q_tk_ecc_mod(spark, sf_dir):
     return tk_ecc(_mod_graph(spark, sf_dir))
 
 
+def q_rv_ecc_mod(spark, sf_dir):
+    """RV eccentricity estimation (eccentricity/RV.C) with all
+    nondeterminism pinned (sample stream, Ngh_s order, guide parents —
+    see rv_ecc docstring). The oracle replays the identical pinned
+    algorithm relationally over an all-pairs-BFS distance table."""
+    from ligra_spark.algorithms import rv_ecc
+
+    return rv_ecc(_mod_graph(spark, sf_dir))
+
+
+RV_ECC_MOD_SQL = f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+p(s, id, dist) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT p.s, e.dst, p.dist + 1 FROM p JOIN e ON e.src = p.id WHERE p.dist < 64
+),
+d AS MATERIALIZED (SELECT s, id, MIN(dist) AS dd FROM p GROUP BY 1, 2),
+comp AS (SELECT id, MIN(s) AS comp FROM d GROUP BY id),
+sizes AS (SELECT comp, COUNT(*) AS csz FROM comp GROUP BY comp),
+cv AS (SELECT c.id, c.comp, s.csz FROM comp c JOIN sizes s USING (comp)),
+small AS (SELECT id, CASE WHEN csz = 1 THEN 0 ELSE 1 END AS radius
+          FROM cv WHERE csz <= 2),
+big AS (SELECT * FROM cv WHERE csz >= 3),
+samp AS MATERIALIZED (SELECT id, comp FROM big WHERE (id * 31 + 7) % 101 < 25 OR id = comp),
+eccs AS (SELECT d.s AS id, MAX(d.dd) AS ecc FROM d JOIN samp ON d.s = samp.id
+         GROUP BY d.s),
+perv AS (SELECT d.id, MAX(d.dd) AS maxd, MIN(d.dd) AS mind
+         FROM d JOIN samp ON d.s = samp.id GROUP BY d.id),
+wrank AS (SELECT big.comp, big.id,
+                 ROW_NUMBER() OVER (PARTITION BY big.comp
+                                    ORDER BY perv.mind DESC, big.id ASC) AS rn
+          FROM big JOIN perv ON big.id = perv.id),
+wsel AS (SELECT comp, id AS wid FROM wrank WHERE rn = 1),
+dw AS MATERIALIZED (SELECT w.comp, w.wid, d.id, d.dd FROM wsel w JOIN d ON d.s = w.wid),
+scal AS (SELECT comp, LEAST(csz, GREATEST(10,
+              CAST(FLOOR(SQRT(csz * LOG2(csz))) AS BIGINT))) AS ngh
+         FROM sizes WHERE csz >= 3),
+nrank AS (SELECT comp, id,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                                    ORDER BY dd ASC, id ASC) AS rn
+          FROM dw),
+nsel AS MATERIALIZED (SELECT n.comp, n.id FROM nrank n JOIN scal s ON n.comp = s.comp
+         WHERE n.rn <= s.ngh),
+eccn AS (SELECT d.s AS id, MAX(d.dd) AS ecc FROM d JOIN nsel ON d.s = nsel.id
+         GROUP BY d.s),
+eccw AS (SELECT wid AS id, MAX(dd) AS ecc FROM dw GROUP BY wid),
+par AS (SELECT a.id AS vv, MIN(e.src) AS parent
+        FROM dw a JOIN e ON e.dst = a.id
+        JOIN dw b ON b.id = e.src AND b.dd = a.dd - 1
+        GROUP BY a.id),
+guide(gv, gd) AS (
+  SELECT id, id FROM nsel
+  UNION
+  SELECT p.vv, g.gd FROM par p JOIN guide g ON g.gv = p.parent
+  LEFT JOIN nsel n ON n.id = p.vv WHERE n.id IS NULL
+),
+minr AS (SELECT samp.comp, MIN(eccs.ecc) AS minr
+         FROM samp JOIN eccs ON samp.id = eccs.id GROUP BY samp.comp),
+exact AS (SELECT id, MIN(ecc) AS radius FROM (
+    SELECT id, ecc FROM eccs
+    UNION ALL SELECT id, ecc FROM eccw
+    UNION ALL SELECT id, ecc FROM eccn) GROUP BY id),
+dvtw AS (SELECT n.id AS vt, d.dd AS dvtw
+         FROM nsel n JOIN wsel w ON n.comp = w.comp
+         JOIN d ON d.s = n.id AND d.id = w.wid),
+est AS (
+  SELECT b.id,
+         GREATEST(GREATEST(perv.maxd, dw.dd),
+                  CASE WHEN dvtv.dd <= dvtw.dvtw THEN eccn.ecc
+                       ELSE minr.minr END) AS radius
+  FROM big b
+  LEFT JOIN exact ex ON b.id = ex.id
+  JOIN perv ON b.id = perv.id
+  JOIN dw ON dw.id = b.id
+  JOIN guide g ON g.gv = b.id
+  JOIN d dvtv ON dvtv.s = g.gd AND dvtv.id = b.id
+  JOIN dvtw ON dvtw.vt = g.gd
+  JOIN eccn ON eccn.id = g.gd
+  JOIN minr ON minr.comp = b.comp
+  WHERE ex.id IS NULL
+)
+SELECT id, CAST(radius AS INT) AS radius FROM small
+UNION ALL SELECT id, CAST(radius AS INT) AS radius FROM exact
+UNION ALL SELECT id, CAST(radius AS INT) AS radius FROM est
+"""
+
+
 def q_tri_vertex_mod(spark, sf_dir):
     """Per-vertex incident triangle counts (Triangle.C per-vertex form)
     on the symmetrized mod-graph."""
@@ -2239,6 +2329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "radii_mod": q_radii_mod,
     "kbfs_ecc_mod": q_kbfs_ecc_mod,
     "tk_ecc_mod": q_tk_ecc_mod,
+    "rv_ecc_mod": q_rv_ecc_mod,
     "fm_ecc_mod": q_fm_ecc_mod,
     "cf_iter1_mod": q_cf_iter1_mod,
     "setcover_mod": q_setcover_mod,
@@ -2347,6 +2438,7 @@ ORACLE_SQL: dict[str, str] = {
     "radii_mod": RADII_MOD_SQL,
     "kbfs_ecc_mod": RADII_MOD_SQL,
     "tk_ecc_mod": RADII_MOD_SQL,
+    "rv_ecc_mod": RV_ECC_MOD_SQL,
     "tri_vertex_mod": TRI_VERTEX_MOD_SQL,
     "pagerank_delta_iter1_events": PAGERANK_ITER1_SQL,
     "pagerank_csr_iter1_events": PAGERANK_ITER1_SQL,

@@ -105,3 +105,22 @@ def test_tk_exact_on_rmat(spark):
     want = sorted((v, ecc(v)) for v in adj)
     got = sorted((r.id, r.radius) for r in tk_ecc(g).collect())
     assert got == want  # list compare catches duplicate rows too
+
+
+def test_rv_exact_on_small_components(mk_graph):
+    """Components with size ≤ nghSize land entirely in Ngh_s, so RV
+    degenerates to exact eccentricity — K4 and a 7-path check the
+    whole sample/w/Ngh_s plumbing against hand-computed values."""
+    from ligra_spark.algorithms import rv_ecc
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10 + i, 11 + i) for i in range(6)]
+    pair = [(100, 101)]
+    g = mk_graph(k4 + path + pair)
+    got = {r.id: r.radius for r in rv_ecc(g).collect()}
+    assert got == {
+        0: 1, 1: 1, 2: 1, 3: 1,
+        10: 6, 11: 5, 12: 4, 13: 3, 14: 4, 15: 5, 16: 6,
+        100: 1, 101: 1,
+    }
+    g.unpersist()
