@@ -25,6 +25,7 @@ __all__ = [
 ]
 from ligra_spark.algorithms.components import bfs_components, cc_contract_local
 from ligra_spark.algorithms.eccentricity import (
+    clrstv_ecc,
     fm_ecc,
     loglog_ecc,
     rv_ecc,

@@ -320,6 +320,68 @@ def _multi_root_bfs(g: Graph, roots: DataFrame) -> DataFrame:
             return vis
 
 
+def _sample_w_ngh(g: Graph, big: DataFrame, sizes: DataFrame, keep: int) -> dict:
+    """The phase machinery RV and CLRSTV share (RV.C:160-284 ==
+    CLRSTV.C:150-277): pinned sample S + exact per-sample BFS, the
+    furthest-from-S vertex w + its BFS, and the (level, id)-ordered
+    Ngh_s neighborhood + its BFS. Returns every frame the estimate
+    formulas need."""
+    from pyspark.sql import Window
+
+    # sample S: pinned stream + forced min-id member (comp == min id)
+    S = materialize(
+        big.where(
+            ((F.col("id") * 31 + 7) % 101 < keep) | (F.col("id") == F.col("comp"))
+        ).select(F.col("id").alias("root"), "comp")
+    )
+    distS = _multi_root_bfs(g, S)
+    eccS = distS.groupBy("root").agg(F.max("dist").alias("ecc"))
+    per_v = distS.groupBy("id").agg(
+        F.max("dist").alias("maxd"), F.min("dist").alias("mind")
+    )
+
+    # w: furthest vertex from the sample set (argmax of min-dist)
+    wv = Window.partitionBy("comp").orderBy(
+        F.col("mind").desc(), F.col("id").asc()
+    )
+    W = materialize(
+        big.join(per_v, "id")
+        .withColumn("_rn", F.row_number().over(wv))
+        .where(F.col("_rn") == 1)
+        .select(F.col("id").alias("root"), "comp")
+    )
+    distW = _multi_root_bfs(g, W)
+    eccW = distW.groupBy("root").agg(F.max("dist").alias("ecc"))
+
+    # Ngh_s: first nghSize vertices in (level, id) BFS order from w
+    scal = sizes.where(F.col("csz") >= 3).select(
+        "comp",
+        "csz",
+        F.least(
+            F.col("csz"),
+            F.greatest(
+                F.lit(10),
+                F.floor(F.sqrt(F.col("csz") * F.log2(F.col("csz")))),
+            ),
+        ).alias("ngh"),
+    )
+    dW = distW.join(W, "root")  # (root=w, id, dist, comp)
+    nw = Window.partitionBy("comp").orderBy(F.col("dist").asc(), F.col("id").asc())
+    N = materialize(
+        dW.withColumn("_rn", F.row_number().over(nw))
+        .join(scal.select("comp", "ngh"), "comp")
+        .where(F.col("_rn") <= F.col("ngh"))
+        .select(F.col("id").alias("root"), "comp")
+    )
+    distN = _multi_root_bfs(g, N)
+    eccN = distN.groupBy("root").agg(F.max("dist").alias("ecc"))
+    return dict(
+        S=S, distS=distS, eccS=eccS, per_v=per_v,
+        W=W, distW=distW, eccW=eccW, dW=dW,
+        N=N, distN=distN, eccN=eccN,
+    )
+
+
 def rv_ecc(
     graph: Graph,
     keep: int = 25,
@@ -369,52 +431,10 @@ def rv_ecc(
     if big.isEmpty():
         return small.select("id", F.col("radius").cast("int").alias("radius"))
 
-    # --- sample S: pinned stream + forced min-id member (comp == min id)
-    S = big.where(
-        ((F.col("id") * 31 + 7) % 101 < keep) | (F.col("id") == F.col("comp"))
-    ).select(F.col("id").alias("root"), "comp")
-    S = materialize(S)
-    distS = _multi_root_bfs(g, S)
-    eccS = distS.groupBy("root").agg(F.max("dist").alias("ecc"))
-    per_v = distS.groupBy("id").agg(
-        F.max("dist").alias("maxd"), F.min("dist").alias("mind")
-    )
-
-    # --- w: furthest vertex from the sample set (argmax of min-dist)
-    wv = Window.partitionBy("comp").orderBy(
-        F.col("mind").desc(), F.col("id").asc()
-    )
-    W = materialize(
-        big.join(per_v, "id")
-        .withColumn("_rn", F.row_number().over(wv))
-        .where(F.col("_rn") == 1)
-        .select(F.col("id").alias("root"), "comp")
-    )
-    distW = _multi_root_bfs(g, W)
-    eccW = distW.groupBy("root").agg(F.max("dist").alias("ecc"))
-
-    # --- Ngh_s: first nghSize vertices in (level, id) BFS order from w
-    scal = sizes.where(F.col("csz") >= 3).select(
-        "comp",
-        "csz",
-        F.least(
-            F.col("csz"),
-            F.greatest(
-                F.lit(10),
-                F.floor(F.sqrt(F.col("csz") * F.log2(F.col("csz")))),
-            ),
-        ).alias("ngh"),
-    )
-    dW = distW.join(W, "root")  # (root=w, id, dist, comp)
-    nw = Window.partitionBy("comp").orderBy(F.col("dist").asc(), F.col("id").asc())
-    N = materialize(
-        dW.withColumn("_rn", F.row_number().over(nw))
-        .join(scal.select("comp", "ngh"), "comp")
-        .where(F.col("_rn") <= F.col("ngh"))
-        .select(F.col("id").alias("root"), "comp")
-    )
-    distN = _multi_root_bfs(g, N)
-    eccN = distN.groupBy("root").agg(F.max("dist").alias("ecc"))
+    ph = _sample_w_ngh(g, big, sizes, keep)
+    S, distS, eccS, per_v = ph["S"], ph["distS"], ph["eccS"], ph["per_v"]
+    W, distW, eccW, dW = ph["W"], ph["distW"], ph["eccW"], ph["dW"]
+    N, distN, eccN = ph["N"], ph["distN"], ph["eccN"]
 
     # --- guide: nearest Ngh_s ancestor along the min-parent BFS tree
     par = (
@@ -501,6 +521,75 @@ def rv_ecc(
                 ),
             ).alias("radius"),
         )
+    )
+    return (
+        small.unionAll(exact.select("id", "radius")).unionAll(est)
+        .select("id", F.col("radius").cast("int").alias("radius"))
+    )
+
+
+def clrstv_ecc(
+    graph: Graph,
+    keep: int = 25,
+    symmetrize: bool = True,
+) -> DataFrame:
+    """``(id, radius INT)`` — eccentricity estimates by the CLRSTV
+    scheme (apps/eccentricity/CLRSTV.C:120-300): the RV phase
+    structure (sample S, furthest vertex w, neighborhood Ngh_s — all
+    pinned identically to ``rv_ecc``) with the lower-bound estimate
+    formula instead of the guide tree. Every BFS source u contributes
+    ``max(d(u,v), ecc(u) − d(u,v))`` (both are eccentricity lower
+    bounds: the distance itself, and the triangle-inequality bound
+    through u — CLRSTV.C:190-199, 281-292); each remaining vertex
+    takes the max over all of S ∪ {w} ∪ Ngh_s. No guide inheritance,
+    so the only pinned choices are the sample stream and Ngh_s
+    order."""
+    from ligra_spark.algorithms.components import cc_contract_local
+
+    g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
+    comps = cc_contract_local(g)
+    sizes = comps.groupBy("comp").agg(F.count(F.lit(1)).alias("csz"))
+    comps = materialize(comps.join(sizes, "comp"))
+
+    small = comps.where(F.col("csz") <= 2).select(
+        "id", F.when(F.col("csz") == 1, 0).otherwise(1).alias("radius")
+    )
+    big = comps.where(F.col("csz") >= 3)
+    if big.isEmpty():
+        return small.select("id", F.col("radius").cast("int").alias("radius"))
+
+    ph = _sample_w_ngh(g, big, sizes, keep)
+
+    bound = F.greatest(F.col("dist"), F.col("ecc") - F.col("dist"))
+    maxest = (
+        ph["distS"].join(ph["eccS"], "root")
+        .groupBy("id").agg(F.max(bound).alias("s_est"))
+    )
+    west = (
+        ph["distW"].join(ph["eccW"], "root")
+        .select("id", bound.alias("w_est"))
+    )
+    nest = (
+        ph["distN"].join(ph["eccN"], "root")
+        .groupBy("id").agg(F.max(bound).alias("n_est"))
+    )
+    exact = materialize(
+        ph["S"].join(ph["eccS"], "root").select(F.col("root").alias("id"), "ecc")
+        .unionAll(
+            ph["W"].join(ph["eccW"], "root").select(F.col("root").alias("id"), "ecc")
+        )
+        .unionAll(
+            ph["N"].join(ph["eccN"], "root").select(F.col("root").alias("id"), "ecc")
+        )
+        .groupBy("id")
+        .agg(F.min("ecc").alias("radius"))
+    )
+    est = (
+        big.join(exact.select("id"), "id", "left_anti")
+        .join(maxest, "id")
+        .join(west, "id")
+        .join(nest, "id")
+        .select("id", F.greatest("s_est", "w_est", "n_est").alias("radius"))
     )
     return (
         small.unionAll(exact.select("id", "radius")).unionAll(est)

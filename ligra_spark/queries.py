@@ -738,6 +738,83 @@ UNION ALL SELECT id, CAST(radius AS INT) AS radius FROM est
 """
 
 
+def q_clrstv_ecc_mod(spark, sf_dir):
+    """CLRSTV eccentricity estimation (eccentricity/CLRSTV.C) — the RV
+    phase structure with the triangle-inequality lower-bound estimate
+    max(d(u,v), ecc(u)-d(u,v)) maximized over S, w, and Ngh_s, same
+    pinned sample/order rules as rv_ecc_mod; relational replay oracle
+    over the all-pairs distance CTE."""
+    from ligra_spark.algorithms import clrstv_ecc
+
+    return clrstv_ecc(_mod_graph(spark, sf_dir))
+
+
+CLRSTV_ECC_MOD_SQL = f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+p(s, id, dist) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT p.s, e.dst, p.dist + 1 FROM p JOIN e ON e.src = p.id WHERE p.dist < 64
+),
+d AS MATERIALIZED (SELECT s, id, MIN(dist) AS dd FROM p GROUP BY 1, 2),
+comp AS (SELECT id, MIN(s) AS comp FROM d GROUP BY id),
+sizes AS (SELECT comp, COUNT(*) AS csz FROM comp GROUP BY comp),
+cv AS (SELECT c.id, c.comp, s.csz FROM comp c JOIN sizes s USING (comp)),
+small AS (SELECT id, CASE WHEN csz = 1 THEN 0 ELSE 1 END AS radius
+          FROM cv WHERE csz <= 2),
+big AS (SELECT * FROM cv WHERE csz >= 3),
+samp AS MATERIALIZED (SELECT id, comp FROM big
+                      WHERE (id * 31 + 7) % 101 < 25 OR id = comp),
+eccs AS (SELECT d.s AS id, MAX(d.dd) AS ecc FROM d JOIN samp ON d.s = samp.id
+         GROUP BY d.s),
+perv AS (SELECT d.id, MIN(d.dd) AS mind
+         FROM d JOIN samp ON d.s = samp.id GROUP BY d.id),
+wrank AS (SELECT big.comp, big.id,
+                 ROW_NUMBER() OVER (PARTITION BY big.comp
+                                    ORDER BY perv.mind DESC, big.id ASC) AS rn
+          FROM big JOIN perv ON big.id = perv.id),
+wsel AS (SELECT comp, id AS wid FROM wrank WHERE rn = 1),
+dw AS MATERIALIZED (SELECT w.comp, w.wid, d.id, d.dd
+                    FROM wsel w JOIN d ON d.s = w.wid),
+scal AS (SELECT comp, LEAST(csz, GREATEST(10,
+              CAST(FLOOR(SQRT(csz * LOG2(csz))) AS BIGINT))) AS ngh
+         FROM sizes WHERE csz >= 3),
+nrank AS (SELECT comp, id,
+                 ROW_NUMBER() OVER (PARTITION BY comp
+                                    ORDER BY dd ASC, id ASC) AS rn
+          FROM dw),
+nsel AS MATERIALIZED (SELECT n.comp, n.id FROM nrank n
+                      JOIN scal s ON n.comp = s.comp WHERE n.rn <= s.ngh),
+eccn AS (SELECT d.s AS id, MAX(d.dd) AS ecc FROM d JOIN nsel ON d.s = nsel.id
+         GROUP BY d.s),
+eccw AS (SELECT wid AS id, MAX(dd) AS ecc FROM dw GROUP BY wid),
+maxest AS (SELECT d.id, MAX(GREATEST(d.dd, eccs.ecc - d.dd)) AS s_est
+           FROM d JOIN eccs ON d.s = eccs.id GROUP BY d.id),
+west AS (SELECT dw.id, GREATEST(dw.dd, eccw.ecc - dw.dd) AS w_est
+         FROM dw JOIN eccw ON dw.wid = eccw.id),
+nest AS (SELECT d.id, MAX(GREATEST(d.dd, eccn.ecc - d.dd)) AS n_est
+         FROM d JOIN eccn ON d.s = eccn.id GROUP BY d.id),
+exact AS (SELECT id, MIN(ecc) AS radius FROM (
+    SELECT id, ecc FROM eccs
+    UNION ALL SELECT id, ecc FROM eccw
+    UNION ALL SELECT id, ecc FROM eccn) GROUP BY id),
+est AS (
+  SELECT b.id, GREATEST(maxest.s_est, west.w_est, nest.n_est) AS radius
+  FROM big b
+  LEFT JOIN exact ex ON b.id = ex.id
+  JOIN maxest ON b.id = maxest.id
+  JOIN west ON b.id = west.id
+  JOIN nest ON b.id = nest.id
+  WHERE ex.id IS NULL
+)
+SELECT id, CAST(radius AS INT) AS radius FROM small
+UNION ALL SELECT id, CAST(radius AS INT) AS radius FROM exact
+UNION ALL SELECT id, CAST(radius AS INT) AS radius FROM est
+"""
+
+
 def q_tri_vertex_mod(spark, sf_dir):
     """Per-vertex incident triangle counts (Triangle.C per-vertex form)
     on the symmetrized mod-graph."""
@@ -2330,6 +2407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kbfs_ecc_mod": q_kbfs_ecc_mod,
     "tk_ecc_mod": q_tk_ecc_mod,
     "rv_ecc_mod": q_rv_ecc_mod,
+    "clrstv_ecc_mod": q_clrstv_ecc_mod,
     "fm_ecc_mod": q_fm_ecc_mod,
     "cf_iter1_mod": q_cf_iter1_mod,
     "setcover_mod": q_setcover_mod,
@@ -2439,6 +2517,7 @@ ORACLE_SQL: dict[str, str] = {
     "kbfs_ecc_mod": RADII_MOD_SQL,
     "tk_ecc_mod": RADII_MOD_SQL,
     "rv_ecc_mod": RV_ECC_MOD_SQL,
+    "clrstv_ecc_mod": CLRSTV_ECC_MOD_SQL,
     "tri_vertex_mod": TRI_VERTEX_MOD_SQL,
     "pagerank_delta_iter1_events": PAGERANK_ITER1_SQL,
     "pagerank_csr_iter1_events": PAGERANK_ITER1_SQL,

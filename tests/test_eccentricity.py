@@ -124,3 +124,20 @@ def test_rv_exact_on_small_components(mk_graph):
         100: 1, 101: 1,
     }
     g.unpersist()
+
+
+def test_clrstv_exact_on_small_components(mk_graph):
+    """Same degenerate-exact property as RV: components ≤ nghSize land
+    entirely in Ngh_s, and every lower-bound estimate for an exact
+    vertex is the true eccentricity."""
+    from ligra_spark.algorithms import clrstv_ecc
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10 + i, 11 + i) for i in range(6)]
+    g = mk_graph(k4 + path)
+    got = {r.id: r.radius for r in clrstv_ecc(g).collect()}
+    assert got == {
+        0: 1, 1: 1, 2: 1, 3: 1,
+        10: 6, 11: 5, 12: 4, 13: 3, 14: 4, 15: 5, 16: 6,
+    }
+    g.unpersist()
