@@ -230,41 +230,79 @@ def cosine_topk_kernel(
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+    q_mat /= q_norm[:, None]  # normalize the INPUTS once: no outer-
+    # product normalization matrix materializes on the workers
+    q_order = np.argsort(q_ids)
+    q_sorted = q_ids[q_order]
+
+    # Per-block working set: sims is (Q, BLOCK) float64 — BLOCK=2048
+    # keeps it ~Q·16KB so 32 concurrent workers stay inside the box's
+    # measured aggregate random-access bandwidth (tools/membw_profile)
+    # instead of each allocating a (partition_rows × Q) 200MB matrix.
+    BLOCK = 2048
 
     def kernel(batches):
+        Q = len(q_ids)
+        best_s = np.full((Q, k), -np.inf)
+        best_n = np.full((Q, k), -1, dtype=np.int64)
+
+        def fold(ids, mat):
+            nonlocal best_s, best_n
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            # (Q, block), C-contiguous: top-k along axis=1 is a
+            # sequential scan, never a 16KB-strided column walk
+            sims = q_mat @ (mat / norms[:, None]).T
+            # self-match masking in O(matches), not an n×Q bool mask
+            pos = np.searchsorted(q_sorted, ids)
+            hit = np.flatnonzero(
+                (pos < len(q_sorted))
+                & (q_sorted[np.minimum(pos, len(q_sorted) - 1)] == ids)
+            )
+            sims[q_order[pos[hit]], hit] = -np.inf
+            top = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            cand_s = np.concatenate(
+                [best_s, np.take_along_axis(sims, idx, axis=1)], axis=1
+            )
+            cand_n = np.concatenate([best_n, ids[idx]], axis=1)
+            keep = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
+            best_s = np.take_along_axis(cand_s, keep, axis=1)
+            best_n = np.take_along_axis(cand_n, keep, axis=1)
+
+        seen = False
         for batch in batches:
             n_rows = batch.num_rows
             if n_rows == 0:
                 continue
-            ids = batch.column(0).to_numpy(zero_copy_only=False).astype(
+            seen = True
+            ids_all = batch.column(0).to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             )
             # flatten() applies the list offsets; float32 values buffer →
             # one float64 block, reshaped as a view
-            mat = (
+            mat_all = (
                 batch.column(1)
                 .flatten()
                 .to_numpy(zero_copy_only=False)
                 .astype(np.float64, copy=False)
                 .reshape(n_rows, -1)
             )
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (mat @ q_mat.T) / np.outer(norms, q_norm)
-            sims[ids[:, None] == q_ids[None, :]] = -np.inf  # no self-match
-            top = min(k, sims.shape[0])
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, Q)
-            out_n = ids[idx].ravel(order="F")
-            out_s = np.take_along_axis(sims, idx, axis=0).ravel(order="F")
-            out_q = np.repeat(q_ids, top)  # column-major order matches
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out_q, type=pa.int64()),
-                    pa.array(out_n, type=pa.int64()),
-                    pa.array(out_s, type=pa.float64()),
-                ],
-                names=["query_id", "neighbor_id", "sim"],
-            )
+            for lo in range(0, n_rows, BLOCK):
+                fold(ids_all[lo : lo + BLOCK], mat_all[lo : lo + BLOCK])
+        if not seen:
+            return
+        live = best_n >= 0  # queries may see < k rows in this partition
+        out_q = np.repeat(q_ids, k)[live.ravel()]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(best_n[live], type=pa.int64()),
+                pa.array(best_s[live], type=pa.float64()),
+            ],
+            names=["query_id", "neighbor_id", "sim"],
+        )
 
     candidates = corpus.select(id_col, vec_col).mapInArrow(
         kernel, "query_id long, neighbor_id long, sim double"

@@ -94,7 +94,9 @@ def test_embedding_dups_bucketed_no_cartesian(spark):
         [(i, [float(i % 5), 1.0, 0.5]) for i in range(40)],
         "emb_id long, vec array<double>",
     )
-    df = embedding_dup_pairs(emb, id_col="emb_id", vec_col="vec")
+    # method='lsh' is the documented scale path; the default is the
+    # exact all-pairs oracle mode, whose cross join is intentional
+    df = embedding_dup_pairs(emb, id_col="emb_id", vec_col="vec", method="lsh")
     assert_no_cartesian(df, "embedding_dup_pairs")
 
 
