@@ -103,7 +103,16 @@ def main() -> None:
     transcript_queries = ("pagerank_transcripts", "cc_transcripts", "lp_transcripts")
     if any(_want(q) for q in transcript_queries):
         n_conv = int(N_CONV) if N_CONV else max(200, int(200_000 * sf))
-        transcripts = generate_transcripts(spark, n_conv)
+        # SPARK_GRAFT_TRANSCRIPTS_PARQUET: pre-generated transcripts
+        # table (bench_scaling writes it once) — generating 400k
+        # deterministic conversations costs 2-4 min per fresh JVM and
+        # is pure warmup; reading parquet removes that noise from the
+        # untimed setup without touching any timed path
+        pq = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_PARQUET")
+        if pq:
+            transcripts = spark.read.parquet(pq)
+        else:
+            transcripts = generate_transcripts(spark, n_conv)
         g = Graph(derive_edges(transcripts), num_partitions=CPUS)
         m = g.m  # materializes the cached edge DataFrames (untimed warmup)
         _ = g.degrees.count()

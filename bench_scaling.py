@@ -40,16 +40,46 @@ SCALING_QUERIES = (
 TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
 
 
+TRANSCRIPTS_PQ = "/tmp/ligra_bench_transcripts.parquet"
+
+
+def _ensure_transcripts() -> None:
+    """Write the deterministic transcripts table once; every trial's
+    fresh JVM then reads parquet instead of regenerating (2-4 min of
+    identical warmup per run, and one less noise source)."""
+    if Path(TRANSCRIPTS_PQ).exists():
+        return
+    n_conv = int(os.environ.get("SPARK_GRAFT_NCONV", "250000"))
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import sys; sys.path.insert(0, %r); "
+                "from ligra_spark.session import get_spark; "
+                "from ligra_spark.sources import generate_transcripts; "
+                "s = get_spark('gen', master='local[32]', shuffle_partitions=32); "
+                "generate_transcripts(s, %d).write.parquet(%r); s.stop()"
+            )
+            % (str(REPO), n_conv, TRANSCRIPTS_PQ),
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+
 def _one_trial(cpus: int) -> dict:
     """One fresh-JVM bench run at the given parallelism."""
+    _ensure_transcripts()
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
+        SPARK_GRAFT_TRANSCRIPTS_PARQUET=TRANSCRIPTS_PQ,
         SPARK_GRAFT_CPUS=str(cpus),
-        # compute-dominated input: ~10M derived edges so per-job
+        # compute-dominated input: ~6M derived edges so per-job
         # scheduling overhead (constant per level) amortizes, as it
         # would on a real cluster at 10^9+ edges
-        SPARK_GRAFT_NCONV=os.environ.get("SPARK_GRAFT_NCONV", "400000"),
+        SPARK_GRAFT_NCONV=os.environ.get("SPARK_GRAFT_NCONV", "250000"),
         SPARK_GRAFT_PR_ITERS="10",
         SPARK_GRAFT_ANN_N=os.environ.get("SPARK_GRAFT_ANN_N", "400000"),
         SPARK_GRAFT_ANN_Q=os.environ.get("SPARK_GRAFT_ANN_Q", "2000"),
@@ -98,14 +128,38 @@ def _best(trials: list[dict]) -> dict:
             m * 10 / best["queries"]["pagerank_transcripts"], 1
         )
     if m and "cc_transcripts" in best["queries"]:
+        # m (not 2m): cc_contract_local never builds the symmetrized
+        # orientation — matches bench.py's definition
         best["extras"]["cc_edges_per_sec"] = round(
-            2 * m / best["queries"]["cc_transcripts"], 1
+            m / best["queries"]["cc_transcripts"], 1
         )
     return best
 
 
 def main() -> None:
+    # --one CPUS OUT.json : run a single fresh-JVM trial and dump it
+    # --report FILE...    : aggregate previously-dumped trials
+    # (lets an external scheduler drive the 6 runs under its own
+    # per-command timeout and then aggregate; protocol identical)
+    args = sys.argv[1:]
+    if args and args[0] == "--one":
+        cpus, out = int(args[1]), args[2]
+        Path(out).write_text(json.dumps(_one_trial(cpus)))
+        print(out)
+        return
+    if args and args[0] == "--report":
+        trials: dict[int, list[dict]] = {c: [] for c in LEVELS}
+        for f in args[1:]:
+            t = json.loads(Path(f).read_text())
+            trials[int(t["cpus"])].append(t)
+        results = {c: _best(trials[c]) for c in LEVELS}
+        _report(results)
+        return
     results = run_levels()
+    _report(results)
+
+
+def _report(results) -> None:
     n, n4 = LEVELS
     report = {"sf_dir": SF_DIR, "levels": {}, "queries": {}}
     for c in LEVELS:
@@ -115,7 +169,7 @@ def main() -> None:
         "# BENCH — measured results",
         "",
         f"Input: `{SF_DIR}` (+ deterministic synthetic transcripts at",
-        "n_conv=400k → ~10M edges, seed 42 — sized so compute dominates",
+        "n_conv=250k → ~6M edges, seed 42 — sized so compute dominates",
         "per-job overhead, as it would at cluster scale). Protocol: the",
         "scaling-query suite per parallelism level, fresh JVM each (the",
         f"sandbox stand-in for `spark-submit` at N vs 4N executors), "

@@ -94,6 +94,123 @@ def radii(
     return state.select("id", "radius")
 
 
+def kbfs_sampled_ecc(
+    graph: Graph,
+    k: int = 64,
+    phases: int = 2,
+    seed: int = 42,
+    fringe_min_size: int = 1024,
+    sample_rank=None,
+    labels: DataFrame | None = None,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """Sampled multi-BFS eccentricity — apps/eccentricity/kBFS-Ecc.C
+    (``phases=2``) and kBFS-1Phase-Ecc.C (``phases=1``).
+
+    The reference first labels connected components (kBFS-Ecc.C:150-180),
+    then **per component** samples up to ``k`` start vertices, gives each
+    a bit in the component's visited word, OR-propagates to fixpoint, and
+    sets ``ecc[v]`` to the last round in which v's mask changed
+    (Ecc_F, kBFS-1Phase-Ecc.C:53-84) — i.e. the max distance from v to
+    any sampled source in its component. kBFS-Ecc.C adds a second phase
+    (kBFS-Ecc.C:235-260) for components larger than ``fringe_min_size``:
+    reseed from the ``k`` *highest-ecc* ("fringe") vertices of phase 1
+    and keep the per-vertex max over both phases.
+
+    Determinism: the reference samples with ``hashInt(i+seed)``
+    (kBFS-Ecc.C:202); here phase-1 sources are the top-``k`` per
+    component under ``sample_rank`` (default ``xxhash64(id + seed)``;
+    pass portable integer arithmetic for cross-engine replay), and the
+    phase-2 fringe is ranked ``(ecc DESC, id ASC)`` — the deterministic
+    tie-break the reference's sort leaves unspecified. Bit positions are
+    per-component ranks, so the 64-bit word is reused across components
+    (masks never cross a component boundary).
+
+    Returns ``(id, ecc INT)`` — a lower bound on true eccentricity,
+    exact over the sampled source sets."""
+    from pyspark.sql import Window
+
+    g = graph.symmetrized() if not graph.symmetric else graph
+    if sample_rank is None:
+        sample_rank = F.xxhash64(F.col("id") + F.lit(seed))
+    if labels is None:
+        from ligra_spark.algorithms.components import connected_components
+
+        labels = connected_components(g, symmetrize=False)
+    labels = materialize(labels.select("id", "comp"))
+
+    def _propagate(sources: DataFrame) -> DataFrame:
+        """OR-propagate per-component bit masks; (id, ecc) = last round
+        each vertex's mask changed (0 if never reached beyond init)."""
+        state = materialize(
+            labels.join(sources.select("id", "bit"), "id", "left").select(
+                "id",
+                F.coalesce("bit", F.lit(0)).alias("mask"),
+                F.lit(0).alias("ecc"),
+            )
+        )
+        frontier = state.where(F.col("mask") != 0).select("id", "mask")
+        frontier_n = frontier.count()
+        timer = Timer()
+        for it in range(1000):
+            if frontier_n == 0:
+                break
+            msgs = edge_map(
+                g, frontier, message=F.col("mask"), combiner="bit_or",
+                frontier_size=frontier_n,
+            )
+            nxt = state.join(msgs, "id", "left").select(
+                "id",
+                "mask",
+                "ecc",
+                F.col("mask").bitwiseOR(F.coalesce("msg", F.lit(0))).alias("mask_new"),
+            )
+            nxt = materialize(nxt, state)
+            frontier = nxt.where(F.col("mask_new") != F.col("mask")).select(
+                "id", F.col("mask_new").alias("mask")
+            )
+            frontier_n = frontier.count()
+            state = nxt.select(
+                "id",
+                F.col("mask_new").alias("mask"),
+                F.when(F.col("mask_new") != F.col("mask"), F.lit(it + 1))
+                .otherwise(F.col("ecc"))
+                .alias("ecc"),
+            )
+            state._ligra_ckpt = getattr(nxt, "_ligra_ckpt", nxt)
+            if metrics is not None:
+                metrics.record(it, frontier=frontier_n, wall_s=timer.lap())
+        return state.select("id", "ecc")
+
+    def _bits(ranked: DataFrame) -> DataFrame:
+        return ranked.where(F.col("rn") <= k).select(
+            "id",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(rn - 1 AS INT))"
+            ).alias("bit"),
+        )
+
+    w1 = Window.partitionBy("comp").orderBy(sample_rank.asc(), F.col("id").asc())
+    srcs1 = _bits(labels.select("id", "comp", F.row_number().over(w1).alias("rn")))
+    ecc = _propagate(srcs1)
+    if phases >= 2:
+        sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("csz"))
+        big = labels.join(sizes, "comp").where(F.col("csz") >= F.lit(fringe_min_size))
+        w2 = Window.partitionBy("comp").orderBy(
+            F.col("e1").desc(), F.col("id").asc()
+        )
+        fringe = _bits(
+            big.join(ecc.withColumnRenamed("ecc", "e1"), "id")
+            .select("id", "comp", "e1")
+            .select("id", "comp", F.row_number().over(w2).alias("rn"))
+        )
+        ecc2 = _propagate(fringe)
+        ecc = ecc.join(ecc2.withColumnRenamed("ecc", "e2"), "id").select(
+            "id", F.greatest("ecc", "e2").alias("ecc")
+        )
+    return ecc.select("id", F.col("ecc").cast("int").alias("ecc"))
+
+
 def kbfs_exact(
     graph: Graph,
     batch: int = 64,

@@ -522,7 +522,7 @@ WITH RECURSIVE base AS ({base_sql}),
 e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
 v AS (SELECT DISTINCT src AS id FROM e),
 nb AS (SELECT src AS id, list(dst) AS ns FROM e GROUP BY src),
-nbm AS (SELECT map_from_entries(list(struct_pack(k := id, v := ns))) AS m,
+nbm AS MATERIALIZED (SELECT map_from_entries(list(struct_pack(k := id, v := ns))) AS m,
                COUNT(*) AS n FROM nb),
 g(i, k, remaining, done_ids, done_cores) AS (
   SELECT 0, 0, (SELECT list(id ORDER BY id) FROM v),
@@ -636,6 +636,71 @@ def q_kbfs_ecc_mod(spark, sf_dir):
     from ligra_spark.algorithms import kbfs_exact
 
     return kbfs_exact(_mod_graph(spark, sf_dir))
+
+
+def _kbfs_sampled(spark, sf_dir, phases):
+    from ligra_spark.algorithms import kbfs_sampled_ecc
+
+    # pinned portable sample rank — the identical integer arithmetic
+    # the oracle replays (same pattern as RV's pinned sample stream)
+    return kbfs_sampled_ecc(
+        _mod_graph(spark, sf_dir),
+        k=8,
+        phases=phases,
+        fringe_min_size=0,
+        sample_rank=(F.col("id") * 31 + 7) % 101,
+    )
+
+
+def q_kbfs_1phase_ecc_mod(spark, sf_dir):
+    """Sampled 1-phase multi-BFS eccentricity
+    (apps/eccentricity/kBFS-1Phase-Ecc.C): per-component pinned sample
+    of 8 sources, OR-propagate, ecc = last mask-change round. Oracle
+    replays max-distance-to-sample over the all-pairs-BFS table."""
+    return _kbfs_sampled(spark, sf_dir, phases=1)
+
+
+def q_kbfs_2phase_ecc_mod(spark, sf_dir):
+    """Sampled 2-phase multi-BFS eccentricity
+    (apps/eccentricity/kBFS-Ecc.C): phase 1 as kBFS-1Phase, then reseed
+    from the 8 highest-ecc fringe vertices (kBFS-Ecc.C:235-260,
+    deterministic (ecc DESC, id ASC) tie-break) and keep the max."""
+    return _kbfs_sampled(spark, sf_dir, phases=2)
+
+
+def _kbfs_sampled_sql(phases: int) -> str:
+    final = (
+        "SELECT id, CAST(e1 AS INT) AS ecc FROM ecc1"
+        if phases == 1
+        else "SELECT ecc1.id, CAST(GREATEST(e1, e2) AS INT) AS ecc "
+        "FROM ecc1 JOIN ecc2 USING (id)"
+    )
+    return f"""
+WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+v AS (SELECT DISTINCT src AS id FROM e),
+p(s, id, dist) AS (
+  SELECT id, id, 0 FROM v
+  UNION
+  SELECT p.s, e.dst, p.dist + 1 FROM p JOIN e ON e.src = p.id WHERE p.dist < 64
+),
+d AS MATERIALIZED (SELECT s, id, MIN(dist) AS dd FROM p GROUP BY 1, 2),
+comp AS (SELECT id, MIN(s) AS comp FROM d GROUP BY id),
+s1 AS (SELECT id FROM (
+        SELECT id, ROW_NUMBER() OVER (PARTITION BY comp
+               ORDER BY (id * 31 + 7) % 101, id) AS rn FROM comp)
+       WHERE rn <= 8),
+ecc1 AS (SELECT d.id, MAX(d.dd) AS e1 FROM d JOIN s1 ON d.s = s1.id
+         GROUP BY d.id),
+fr AS (SELECT id FROM (
+        SELECT c.id, ROW_NUMBER() OVER (PARTITION BY c.comp
+               ORDER BY ecc1.e1 DESC, c.id) AS rn
+        FROM comp c JOIN ecc1 ON c.id = ecc1.id)
+       WHERE rn <= 8),
+ecc2 AS (SELECT d.id, MAX(d.dd) AS e2 FROM d JOIN fr ON d.s = fr.id
+         GROUP BY d.id)
+{final}
+"""
 
 
 def q_tk_ecc_mod(spark, sf_dir):
@@ -1050,9 +1115,9 @@ SETCOVER_MOD_SQL = f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
 nb AS (SELECT src AS id, list(dst) AS ns, COUNT(*) AS d FROM base GROUP BY src),
 rb AS (SELECT dst AS id, list(src) AS ss FROM base GROUP BY dst),
-nbm AS (SELECT map_from_entries(list(struct_pack(k := id, v := ns))) AS m FROM nb),
-rbm AS (SELECT map_from_entries(list(struct_pack(k := id, v := ss))) AS m FROM rb),
-elml AS (SELECT list(DISTINCT dst) AS es FROM base),
+nbm AS MATERIALIZED (SELECT map_from_entries(list(struct_pack(k := id, v := ns))) AS m FROM nb),
+rbm AS MATERIALIZED (SELECT map_from_entries(list(struct_pack(k := id, v := ss))) AS m FROM rb),
+elml AS MATERIALIZED (SELECT list(DISTINCT dst) AS es FROM base),
 x AS (SELECT 1.0 / ln(1.01) AS x),
 init AS (
   SELECT list(struct_pack(id := id,
@@ -1986,7 +2051,7 @@ def q_hyper_sssp_events(spark, sf_dir):
 
 HYPER_BFS_SQL = f"""
 WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
-arcs AS (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
+arcs AS MATERIALIZED (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
 root AS (SELECT MIN(v) AS id FROM base),
 r(id, dist) AS (
   SELECT id, 0 FROM root
@@ -2001,7 +2066,7 @@ FROM d
 
 HYPER_CC_SQL = f"""
 WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
-arcs AS (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
+arcs AS MATERIALIZED (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
 nodes AS (SELECT DISTINCT a FROM arcs),
 r(x, y) AS (
   SELECT a, a FROM nodes
@@ -2098,7 +2163,7 @@ SELECT unnest(done_ids) AS id, unnest(done_cores) AS core FROM final
 
 HYPER_SSSP_SQL = f"""
 WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
-arcs AS (SELECT v AS a, h AS b, CAST((v + 2 * h) % 9 + 1 AS DOUBLE) AS w FROM base
+arcs AS MATERIALIZED (SELECT v AS a, h AS b, CAST((v + 2 * h) % 9 + 1 AS DOUBLE) AS w FROM base
          UNION ALL
          SELECT h, v, CAST((v + 2 * h) % 9 + 1 AS DOUBLE) FROM base),
 root AS (SELECT MIN(v) AS id FROM base),
@@ -2205,7 +2270,7 @@ def _hyper_bc_sql(fwd_rounds: int = 48, back_steps: int = 24) -> str:
     the real level count are no-ops (empty level selections), so the
     static unroll is exact for any diameter <= the bounds."""
     parts = [f"""WITH RECURSIVE base AS ({HYPER_INCIDENCE_SQL}),
-arcs AS (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
+arcs AS MATERIALIZED (SELECT v AS a, h AS b FROM base UNION SELECT h, v FROM base),
 root AS (SELECT MIN(v) AS id FROM base),
 r(id, dist) AS (
   SELECT id, 0 FROM root
@@ -2368,6 +2433,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # FIRST. The r02-uncovered tail (multimodal, TPC-H trio, the whole
     # ANN/embedding family) leads; long-green families (docs text/dedup,
     # hyper) close the list.
+    # new in r03 — never driver-covered
+    "kbfs_1phase_ecc_mod": q_kbfs_1phase_ecc_mod,
+    "kbfs_2phase_ecc_mod": q_kbfs_2phase_ecc_mod,
     # mid-size fixture (new in r03 — never driver-covered)
     "cc_mid": q_cc_mid,
     "cc_local_mid": q_cc_local_mid,
@@ -2515,6 +2583,8 @@ ORACLE_SQL: dict[str, str] = {
     "mis_mod": MIS_MOD_SQL,
     "radii_mod": RADII_MOD_SQL,
     "kbfs_ecc_mod": RADII_MOD_SQL,
+    "kbfs_1phase_ecc_mod": _kbfs_sampled_sql(1),
+    "kbfs_2phase_ecc_mod": _kbfs_sampled_sql(2),
     "tk_ecc_mod": RADII_MOD_SQL,
     "rv_ecc_mod": RV_ECC_MOD_SQL,
     "clrstv_ecc_mod": CLRSTV_ECC_MOD_SQL,
