@@ -4,6 +4,18 @@ from ligra_spark.sources.adjacency import (
     read_snap_graph,
     write_binary_graph,
 )
+from ligra_spark.sources.converters import (
+    adj_add_weights,
+    adj_to_binary,
+    grid_graph,
+    hash_int32,
+    hash_int64,
+    rand_hypergraph_incidence,
+    rand_local_graph,
+    read_community_hyperedges,
+    read_konect_incidence,
+    write_adjacency_graph,
+)
 from ligra_spark.sources.events import (
     edges_from_events,
     event_type_graph,
@@ -17,6 +29,16 @@ from ligra_spark.sources.transcripts import (
 )
 
 __all__ = [
+    "adj_add_weights",
+    "adj_to_binary",
+    "grid_graph",
+    "hash_int32",
+    "hash_int64",
+    "rand_hypergraph_incidence",
+    "rand_local_graph",
+    "read_community_hyperedges",
+    "read_konect_incidence",
+    "write_adjacency_graph",
     "derive_edges",
     "edges_from_events",
     "event_type_graph",
