@@ -1,4 +1,5 @@
 from ligra_spark.functions.dedup import (
+    dedup_clusters,
     dedup_exact,
     minhash_signatures,
     minhash_lsh_pairs,
@@ -19,6 +20,7 @@ from ligra_spark.functions.text import (
 
 __all__ = [
     "cosine_topk",
+    "dedup_clusters",
     "dedup_exact",
     "doc_fingerprint",
     "embedding_dup_pairs",

@@ -301,3 +301,44 @@ def simhash_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    threshold: float = 0.2,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end near-dup clustering — what a training-data pipeline
+    actually runs: LSH candidates → exact-Jaccard verify
+    (``minhash_lsh_jaccard``) → connected components over the verified
+    pair graph (transitive closure of near-duplication) → one canonical
+    representative per cluster.
+
+    Returns ``(id_col, cluster, keep)``: ``cluster`` is the min doc id
+    of the near-dup component (docs with no near-dup cluster to
+    themselves), ``keep`` marks the canonical representative. Filtering
+    ``keep`` yields the deduplicated corpus.
+
+    Scale shape: every stage is bucketed or O(pairs) — the LSH band
+    join never goes all-pairs, and the component fixpoint runs on the
+    pair graph only (near-dup graphs are tiny relative to the corpus),
+    then joins back to the full corpus once."""
+    from ligra_spark.algorithms.components import connected_components
+    from ligra_spark.graph import Graph
+
+    pairs = minhash_lsh_jaccard(df, threshold, k, bands, n, id_col, text_col)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(Graph(edges)).withColumnRenamed("id", id_col)
+    return (
+        df.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("comp", F.col(id_col)).alias("cluster"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster"))
+    )

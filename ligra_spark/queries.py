@@ -46,6 +46,7 @@ from ligra_spark.algorithms import (
 )
 from ligra_spark.csr import pagerank_csr
 from ligra_spark.functions.dedup import (
+    dedup_clusters,
     dedup_exact,
     minhash_lsh_jaccard,
     minhash_lsh_pairs,
@@ -1558,6 +1559,44 @@ WHERE c / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2
 """
 
 
+def q_dedup_clusters_docs(spark, sf_dir):
+    """End-to-end near-dup clustering — the full training-data dedup
+    pipeline as one composed op: LSH candidates → exact-Jaccard verify
+    → connected components over the verified pair graph → canonical
+    representative per cluster."""
+    return dedup_clusters(_docs(spark, sf_dir), threshold=0.2, k=16, bands=4)
+
+
+# CC over the LSH-verified pair graph via reachability closure (same
+# oracle pattern as BFSCC): every vertex reaches itself; propagate
+# reachable labels along undirected pair edges; cluster = min label.
+DEDUP_CLUSTERS_SQL = _MINHASH_BANDS_SQL.replace(
+    "WITH ", "WITH RECURSIVE ", 1
+) + """,
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT cand.id_a, cand.id_b
+  FROM cand JOIN common ON cand.id_a = common.id_a AND cand.id_b = common.id_b
+  JOIN sizes sa ON sa.id = cand.id_a
+  JOIN sizes sb ON sb.id = cand.id_b
+  WHERE c / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.2),
+uedges AS (SELECT id_a AS u, id_b AS v FROM pairs
+           UNION SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM uedges)
+  UNION
+  SELECT e.u, reach.r FROM uedges e JOIN reach ON reach.id = e.v),
+comp AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+SELECT d.doc_id, COALESCE(comp.cluster, d.doc_id) AS cluster,
+       d.doc_id = COALESCE(comp.cluster, d.doc_id) AS keep
+FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+"""
+
+
 def q_simhash_docs(spark, sf_dir):
     return simhash(_docs(spark, sf_dir))
 
@@ -2434,6 +2473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ANN/embedding family) leads; long-green families (docs text/dedup,
     # hyper) close the list.
     # new in r03 — never driver-covered
+    "dedup_clusters_docs": q_dedup_clusters_docs,
     "kbfs_1phase_ecc_mod": q_kbfs_1phase_ecc_mod,
     "kbfs_2phase_ecc_mod": q_kbfs_2phase_ecc_mod,
     # mid-size fixture (new in r03 — never driver-covered)
@@ -2600,6 +2640,7 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_sig_docs": MINHASH_SIG_SQL,
     "minhash_lsh_docs": MINHASH_LSH_SQL,
     "lsh_jaccard_docs": LSH_JACCARD_SQL,
+    "dedup_clusters_docs": DEDUP_CLUSTERS_SQL,
     "simhash_docs": SIMHASH_SQL,
     "simhash_pairs_docs": SIMHASH_PAIRS_SQL,
     "media_bytes_docs": MEDIA_BYTES_SQL,

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from ligra_spark.functions.dedup import (
+    dedup_clusters,
     dedup_exact,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -52,6 +53,27 @@ def test_dedup_exact_normalizes(docs_df):
     assert rows[1] == 2          # docs 1 and 3 collapse
     assert 3 not in rows
     assert rows[2] == 1
+
+
+def test_dedup_clusters_transitive_and_canonical(docs_df):
+    out = {
+        r["doc_id"]: (r["cluster"], r["keep"])
+        for r in dedup_clusters(docs_df).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # 1 and 3 are identical after normalization → same cluster, min-id keeper
+    assert out[1] == (1, True)
+    assert out[3] == (1, False)
+    # unrelated / too-short docs stay singleton clusters of themselves
+    for d in (4, 5, 6):
+        assert out[d] == (d, True)
+    # invariants: cluster label = min member id, exactly one keeper each
+    clusters: dict[int, list[int]] = {}
+    for d, (c, _) in out.items():
+        clusters.setdefault(c, []).append(d)
+    for c, members in clusters.items():
+        assert c == min(members)
+        assert sum(out[m][1] for m in members) == 1
 
 
 def test_word_shingles_match_python(docs_df):
