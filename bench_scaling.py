@@ -26,7 +26,12 @@ REPO = Path(__file__).resolve().parent
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
 )
-LEVELS = (8, 32)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "8,32").split(",")
+)
+# where the markdown report lands (BENCH.md by default; override to run
+# several level pairs and compose them)
+BENCH_OUT = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH.md")
 # scaling is judged on the parallelizable headliners; tiny-data queries
 # (docs/embeddings at fixed 500 rows) don't scale and aren't counted
 SCALING_QUERIES = (
@@ -68,9 +73,23 @@ def _ensure_transcripts() -> None:
     )
 
 
+def _host_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the delta across a
+    trial gives the share of box CPU stolen by the hypervisor while the
+    trial ran, which is the question every slow outlier raises."""
+    parts = Path("/proc/stat").read_text().splitlines()[0].split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def _one_trial(cpus: int) -> dict:
-    """One fresh-JVM bench run at the given parallelism."""
+    """One fresh-JVM bench run at the given parallelism, annotated with
+    host telemetry (loadavg at start, steal% across the trial) so slow
+    outliers are attributable instead of mysterious."""
     _ensure_transcripts()
+    load1 = float(Path("/proc/loadavg").read_text().split()[0])
+    s0, t0 = _host_ticks()
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
@@ -93,7 +112,13 @@ def _one_trial(cpus: int) -> dict:
         text=True,
         check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    trial = json.loads(out.stdout.strip().splitlines()[-1])
+    s1, t1 = _host_ticks()
+    trial["host"] = {
+        "load1_at_start": load1,
+        "steal_pct": round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2),
+    }
+    return trial
 
 
 def run_levels() -> dict[int, dict]:
@@ -122,6 +147,7 @@ def _best(trials: list[dict]) -> dict:
         q: [round(t["queries"][q], 2) for t in trials]
         for q in trials[0]["queries"]
     }
+    best["host_spread"] = [t.get("host", {}) for t in trials]
     m = best["extras"].get("transcript_edges")
     if m and "pagerank_transcripts" in best["queries"]:
         best["extras"]["pagerank_edges_per_sec"] = round(
@@ -169,7 +195,8 @@ def _report(results) -> None:
         "# BENCH — measured results",
         "",
         f"Input: `{SF_DIR}` (+ deterministic synthetic transcripts at",
-        "n_conv=250k → ~6M edges, seed 42 — sized so compute dominates",
+        f"n_conv={os.environ.get('SPARK_GRAFT_NCONV', '250000')} "
+        "(~24 edges/conv), seed 42 — sized so compute dominates",
         "per-job overhead, as it would at cluster scale). Protocol: the",
         "scaling-query suite per parallelism level, fresh JVM each (the",
         f"sandbox stand-in for `spark-submit` at N vs 4N executors), "
@@ -217,6 +244,19 @@ def _report(results) -> None:
         s_4n = results[n4].get("queries_spread", {}).get(q)
         if s_n and s_4n:
             lines.append(f"- {q}: local[{n}] {s_n} / local[{n4}] {s_4n}")
+    # host telemetry per trial: slow outliers correlate with steal/load
+    for c in LEVELS:
+        hosts = results[c].get("host_spread")
+        if hosts and any(hosts):
+            lines.append(
+                f"- host during local[{c}] trials: "
+                + ", ".join(
+                    f"(load1 {h.get('load1_at_start', '?')}, "
+                    f"steal {h.get('steal_pct', '?')}%)"
+                    for h in hosts
+                )
+            )
+    report["host"] = {str(c): results[c].get("host_spread") for c in LEVELS}
     membw = None
     try:
         out = subprocess.run(
@@ -239,7 +279,8 @@ def _report(results) -> None:
         "## Why local-mode efficiency saturates below 0.8 (measured)",
         "",
         "The north_rule's criterion is N → 4N **executors** — 4× the",
-        "memory systems along with 4× the cores. `local[8]` → `local[32]`",
+        f"memory systems along with 4× the cores. `local[{n}]` → "
+        f"`local[{n4}]`",
         "multiplies only cores: all tasks share ONE memory system.",
         "`tools/membw_profile.py` runs the engine's dominant access",
         "pattern (random 8-byte gather/scatter — shuffle reads, hash",
@@ -268,7 +309,7 @@ def _report(results) -> None:
             "scale-out the memory systems scale with the cores.",
             "",
         ]
-    (REPO / "BENCH.md").write_text("\n".join(lines))
+    (REPO / BENCH_OUT).write_text("\n".join(lines))
     print(json.dumps(report))
 
 
