@@ -170,7 +170,16 @@ def main() -> None:
             ]
             extras["cc_residuals"] = [r.get("residual") for r in cc_m.rounds]
         if _want("lp_transcripts"):
-            timed("lp_transcripts", lambda: label_propagation(g, max_iters=5).count())
+            from ligra_spark.algorithms._iter import IterMetrics
+
+            lp_m = IterMetrics()
+            timed(
+                "lp_transcripts",
+                lambda: label_propagation(g, max_iters=5, metrics=lp_m).count(),
+            )
+            extras["lp_iter_walls"] = [
+                round(r.get("wall_s", 0.0), 2) for r in lp_m.rounds
+            ]
         g.unpersist()
 
     # ---- skewed R-MAT graph for triangle counting --------------------------
