@@ -45,7 +45,10 @@ SCALING_QUERIES = (
 TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
 
 
-TRANSCRIPTS_PQ = "/tmp/ligra_bench_transcripts.parquet"
+N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "250000"))
+# path keyed by size: a cached table from a previous run at a different
+# NCONV must never be silently reused
+TRANSCRIPTS_PQ = f"/tmp/ligra_bench_transcripts_{N_CONV}.parquet"
 
 
 def _ensure_transcripts() -> None:
@@ -54,7 +57,7 @@ def _ensure_transcripts() -> None:
     identical warmup per run, and one less noise source)."""
     if Path(TRANSCRIPTS_PQ).exists():
         return
-    n_conv = int(os.environ.get("SPARK_GRAFT_NCONV", "250000"))
+    n_conv = N_CONV
     subprocess.run(
         [
             sys.executable,
@@ -98,7 +101,7 @@ def _one_trial(cpus: int) -> dict:
         # compute-dominated input: ~6M derived edges so per-job
         # scheduling overhead (constant per level) amortizes, as it
         # would on a real cluster at 10^9+ edges
-        SPARK_GRAFT_NCONV=os.environ.get("SPARK_GRAFT_NCONV", "250000"),
+        SPARK_GRAFT_NCONV=str(N_CONV),
         SPARK_GRAFT_PR_ITERS="10",
         SPARK_GRAFT_ANN_N=os.environ.get("SPARK_GRAFT_ANN_N", "400000"),
         SPARK_GRAFT_ANN_Q=os.environ.get("SPARK_GRAFT_ANN_Q", "2000"),
@@ -238,7 +241,7 @@ def _report(results) -> None:
         "# BENCH — measured results",
         "",
         f"Input: `{SF_DIR}` (+ deterministic synthetic transcripts at",
-        f"n_conv={os.environ.get('SPARK_GRAFT_NCONV', '250000')} "
+        f"n_conv={N_CONV} "
         "(~24 edges/conv), seed 42 — sized so compute dominates",
         "per-job overhead, as it would at cluster scale). Protocol: the",
         "scaling-query suite per parallelism level, fresh JVM each (the",

@@ -31,7 +31,7 @@ labels; only round counts differ.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize, unpersist
@@ -83,8 +83,24 @@ def connected_components(
             nxt = nxt.join(grp, "comp").select(
                 "id", "comp", F.least("comp_new", "gmin").alias("comp_new")
             )
+        # The frontier count rides the round's LAST materialization
+        # action as an observed metric (one driver job per round
+        # instead of two); attach it to whichever plan materializes
+        # last — nxt itself when jumps == 0, else the final jump.
+        obs = Observation(f"cc_frontier_{it}")
+
+        def _observe_frontier(df):
+            return df.observe(
+                obs,
+                F.sum(
+                    (F.col("comp_new") < F.col("comp")).cast("long")
+                ).alias("frontier_n"),
+            )
+
+        if jumps == 0:
+            nxt = _observe_frontier(nxt)
         nxt = materialize(nxt, state)
-        for _ in range(jumps):
+        for j in range(jumps):
             hop = nxt.select(
                 F.col("id").alias("comp_new"), F.col("comp_new").alias("comp2")
             )
@@ -93,11 +109,13 @@ def connected_components(
                 "comp",
                 F.coalesce("comp2", "comp_new").alias("comp_new"),
             )
+            if j == jumps - 1:
+                jumped = _observe_frontier(jumped)
             nxt = materialize(jumped, nxt)
         frontier = nxt.where(F.col("comp_new") < F.col("comp")).select(
             "id", F.col("comp_new").alias("comp")
         )
-        frontier_n = frontier.count()
+        frontier_n = int(obs.get["frontier_n"] or 0)
         state = nxt.select("id", F.col("comp_new").alias("comp"))
         state._ligra_ckpt = getattr(nxt, "_ligra_ckpt", nxt)
         if metrics is not None:
@@ -238,10 +256,15 @@ def cc_contract_local(
             x.where((F.col("rn") == 1) | (F.col("lab") != F.col("gl")))
         )
         glob = x.where(F.col("rn") == 1).select("v", "gl")
+        # residual count rides the materialization action
+        obs = Observation(f"cc_resid_{it}")
         residual = materialize(
-            x.where(F.col("lab") != F.col("gl")).select("lab", "gl").distinct()
+            x.where(F.col("lab") != F.col("gl"))
+            .select("lab", "gl")
+            .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        n_residual = residual.count()
+        n_residual = int(obs.get["n"] or 0)
         mappings.append(glob)
         if metrics is not None:
             metrics.record(it, residual=n_residual, wall_s=timer.lap())

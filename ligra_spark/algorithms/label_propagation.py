@@ -17,7 +17,7 @@ window sort entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
@@ -54,8 +54,17 @@ def label_propagation(
             "label",
             F.coalesce("new_label", "label").alias("label_next"),
         )
+        # changed-count rides the materialization action (one driver
+        # job per round instead of two)
+        obs = Observation(f"lp_changed_{it}")
+        nxt = nxt.observe(
+            obs,
+            F.sum(
+                (F.col("label") != F.col("label_next")).cast("long")
+            ).alias("changed"),
+        )
         nxt = materialize(nxt, state)
-        changed = nxt.where(F.col("label") != F.col("label_next")).count()
+        changed = int(obs.get["changed"] or 0)
         state = nxt.select("id", F.col("label_next").alias("label"))
         state._ligra_ckpt = getattr(nxt, "_ligra_ckpt", nxt)
         if metrics is not None:
