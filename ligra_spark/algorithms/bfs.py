@@ -14,7 +14,7 @@ gather uses the broadcast zero-shuffle plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
@@ -60,9 +60,18 @@ def bfs(
             msgs.join(visited.select("id"), "id", "left_anti")
             .select("id", F.col("msg").alias("parent"), F.lit(it + 1).alias("dist"))
         )
-        visited_next = materialize(visited.unionAll(new), visited)
+        # next-frontier size rides the materialization action (one
+        # driver job per round instead of two)
+        obs = Observation(f"bfs_frontier_{it}")
+        visited_next = materialize(
+            visited.unionAll(new).observe(
+                obs,
+                F.sum((F.col("dist") == it + 1).cast("long")).alias("n"),
+            ),
+            visited,
+        )
         frontier = visited_next.where(F.col("dist") == it + 1).select("id")
-        frontier_n = frontier.count()
+        frontier_n = int(obs.get["n"] or 0)
         visited = visited_next
         if metrics is not None:
             metrics.record(it, frontier=frontier_n, wall_s=timer.lap())

@@ -11,7 +11,7 @@ one columnar update.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize, unpersist
@@ -46,8 +46,10 @@ def kcore(
             peel = vertex_filter(
                 state, F.col("alive") & (F.col("deg") < k)
             ).select("id")
-            peel = materialize(peel)
-            n_peel = peel.count()
+            # peel-count rides the materialization action
+            obs = Observation(f"kcore_peel_{k}_{id(peel)}")
+            peel = materialize(peel.observe(obs, F.count(F.lit(1)).alias("n")))
+            n_peel = int(obs.get["n"] or 0)
             if n_peel == 0:
                 unpersist(peel)
                 break

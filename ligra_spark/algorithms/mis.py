@@ -19,7 +19,7 @@ any partitioning.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
@@ -40,9 +40,9 @@ def maximal_independent_set(
     state = materialize(g.vertices.select("id", F.lit(0).alias("flag")))
 
     timer = Timer()
+    n_und = g.n  # all undecided at start; updated from each round's obs
     for it in range(max_iters):
         undecided = vertex_filter(state, F.col("flag") == 0).select("id")
-        n_und = undecided.count()
         if n_und == 0:
             break
         # min undecided-neighbor id per vertex
@@ -55,8 +55,12 @@ def maximal_independent_set(
             .where(F.col("msg").isNull() | (F.col("id") < F.col("msg")))
             .select("id")
         )
-        winners = materialize(winners)
-        n_win = winners.count()
+        # winner-count rides the materialization action
+        obs = Observation(f"mis_win_{it}")
+        winners = materialize(
+            winners.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        n_win = int(obs.get["n"] or 0)
         excluded = edge_map(
             g, winners, message=F.lit(True), combiner="any",
             frontier_size=n_win,
@@ -73,8 +77,16 @@ def maximal_independent_set(
                 .alias("flag"),
             )
         )
+        # next round's undecided count rides this materialization
+        obs_u = Observation(f"mis_und_{it}")
+        nxt = nxt.observe(
+            obs_u, F.sum((F.col("flag") == 0).cast("long")).alias("n")
+        )
         nxt = materialize(nxt, state)
         state = nxt
+        prev_und, n_und = n_und, int(obs_u.get["n"] or 0)
         if metrics is not None:
-            metrics.record(it, undecided=n_und, winners=n_win, wall_s=timer.lap())
+            metrics.record(
+                it, undecided=prev_und, winners=n_win, wall_s=timer.lap()
+            )
     return state.select("id", (F.col("flag") == 1).alias("in_set"))
