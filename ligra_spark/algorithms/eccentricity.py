@@ -28,7 +28,7 @@ kBFS-Ecc's exact-bitmask core is ``algorithms.radii``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
@@ -81,8 +81,12 @@ def _sketch_ecc(
         )
         nxt = materialize(nxt, sketch)
         changed = nxt.where(F.col("reg_new") != F.col("reg")).select("id").distinct()
+        # frontier size rides the frontier's own materialization action
+        # (one driver job instead of two — VERDICT r03 item 3)
+        obs = Observation(f"sketch_f_{it}")
+        changed = changed.observe(obs, F.count(F.lit(1)).alias("f"))
         changed = materialize(changed, frontier_ids if it > 0 else None)
-        frontier_n = changed.count()
+        frontier_n = int(obs.get["f"] or 0)
         ecc = ecc.join(changed.withColumn("_c", F.lit(1)), "id", "left").select(
             "id",
             F.when(F.col("_c").isNotNull(), F.lit(it + 1))
@@ -192,17 +196,20 @@ def tk_ecc(
 
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
     comps = connected_components(g, symmetrize=False)
+    # undetermined-count rides each state materialization (the initial
+    # one here, then the per-iteration one at the loop bottom)
+    obs0 = Observation("tk_left_init")
     state = materialize(
         comps.select(
             "id", "comp", F.lit(0).alias("low"),
             F.lit(None).cast("int").alias("up"),
-        )
+        ).observe(obs0, F.count(F.lit(1)).alias("n"))
     )
+    n_left = int(obs0.get["n"] or 0)
     done = g.spark.createDataFrame([], "id long, radius int")
 
     timer = Timer()
     for it in range(max_iters):
-        n_left = state.count()
         if n_left == 0:
             break
         from pyspark.sql import Window
@@ -234,9 +241,16 @@ def tk_ecc(
             )
             new = msgs.join(vis.select("root", "id"), ["root", "id"], "left_anti")
             new = new.select("root", "id", F.lit(r + 1).alias("dist"))
-            vis_next = materialize(vis.unionAll(new), vis)
+            obs_f = Observation(f"tk_bfs_{it}_{r}")
+            vis_next = materialize(
+                vis.unionAll(new).observe(
+                    obs_f,
+                    F.sum((F.col("dist") == r + 1).cast("long")).alias("f"),
+                ),
+                vis,
+            )
+            n_f = int(obs_f.get["f"] or 0)
             frontier = vis_next.where(F.col("dist") == r + 1)
-            n_f = frontier.count()
             vis = vis_next
             r += 1
             if n_f == 0:
@@ -279,11 +293,14 @@ def tk_ecc(
             ),
             done,
         )
+        obs_l = Observation(f"tk_left_{it}")
         state = materialize(
             upd.join(determined.select("id"), "id", "left_anti")
-            .join(picks.select(F.col("root").alias("id")), "id", "left_anti"),
+            .join(picks.select(F.col("root").alias("id")), "id", "left_anti")
+            .observe(obs_l, F.count(F.lit(1)).alias("n")),
             state,
         )
+        n_left = int(obs_l.get["n"] or 0)
         if metrics is not None:
             metrics.record(it, remaining=n_left, wall_s=timer.lap())
     return done
@@ -309,29 +326,57 @@ def _multi_root_bfs(g: Graph, roots: DataFrame) -> DataFrame:
             .distinct()
         )
         new = msgs.join(vis.select("root", "id"), ["root", "id"], "left_anti")
+        obs = Observation(f"mrb_{id(roots)}_{r}")
         vis_next = materialize(
-            vis.unionAll(new.select("root", "id", F.lit(r + 1).alias("dist"))),
+            vis.unionAll(
+                new.select("root", "id", F.lit(r + 1).alias("dist"))
+            ).observe(
+                obs, F.sum((F.col("dist") == r + 1).cast("long")).alias("f")
+            ),
             vis,
         )
-        n_new = vis_next.where(F.col("dist") == r + 1).count()
+        n_new = int(obs.get["f"] or 0)
         vis = vis_next
         r += 1
         if n_new == 0:
             return vis
 
 
-def _sample_w_ngh(g: Graph, big: DataFrame, sizes: DataFrame, keep: int) -> dict:
+def _sample_w_ngh(
+    g: Graph, big: DataFrame, sizes: DataFrame, max_sample: int = 1000
+) -> dict:
     """The phase machinery RV and CLRSTV share (RV.C:160-284 ==
     CLRSTV.C:150-277): pinned sample S + exact per-sample BFS, the
     furthest-from-S vertex w + its BFS, and the (level, id)-ordered
     Ngh_s neighborhood + its BFS. Returns every frame the estimate
-    formulas need."""
+    formulas need.
+
+    Sample size follows the reference (RV.C:157-168):
+    ``sampleSize ≈ √(CCsize·log2 CCsize)`` capped at ``max_sample``, so
+    the per-vertex keep probability FALLS with component size — the
+    pinned stream ``(id*31+7) % 101`` is compared against a
+    per-component threshold ``round(101·sampleSize/csz)`` instead of a
+    constant (a constant rate made the (root,id)-keyed multi-BFS state
+    quadratic in component size — ADVICE r03). The component's min-id
+    member is always forced in (RV.C:172 non-empty forcing)."""
     from pyspark.sql import Window
 
-    # sample S: pinned stream + forced min-id member (comp == min id)
+    # sample S: pinned stream vs per-component threshold + forced
+    # min-id member (comp == min id)
+    samp_sz = F.least(
+        F.col("csz"),
+        F.least(
+            F.lit(max_sample).cast("bigint"),
+            F.greatest(
+                F.lit(10).cast("bigint"),
+                F.floor(F.sqrt(F.col("csz") * F.log2(F.col("csz")))),
+            ),
+        ),
+    )
+    thr = F.round(F.lit(101.0) * samp_sz / F.col("csz"))
     S = materialize(
         big.where(
-            ((F.col("id") * 31 + 7) % 101 < keep) | (F.col("id") == F.col("comp"))
+            ((F.col("id") * 31 + 7) % 101 < thr) | (F.col("id") == F.col("comp"))
         ).select(F.col("id").alias("root"), "comp")
     )
     distS = _multi_root_bfs(g, S)
@@ -384,7 +429,7 @@ def _sample_w_ngh(g: Graph, big: DataFrame, sizes: DataFrame, keep: int) -> dict
 
 def rv_ecc(
     graph: Graph,
-    keep: int = 25,
+    max_sample: int = 1000,
     symmetrize: bool = True,
 ) -> DataFrame:
     """``(id, radius INT)`` — eccentricity estimates by the
@@ -395,8 +440,11 @@ def rv_ecc(
 
     - RV.C:89 seeds from ``time(NULL)``; the sample membership test
       ``hashInt(i+seed) % CCsize < sampleSize`` (RV.C:164-169) becomes
-      the pinned arithmetic stream ``(id*31 + 7) % 101 < keep`` —
-      expected rate keep/101 ≈ the reference's sampleSize/CCsize — and
+      the pinned arithmetic stream ``(id*31 + 7) % 101`` compared to a
+      per-component threshold ``round(101·sampleSize/csz)`` with
+      ``sampleSize = min(csz, max_sample, max(10, √(csz·log2 csz)))``
+      — the reference's falling per-vertex rate, so the batched
+      multi-BFS holds ~√(n log n) roots per component, not O(n) — and
       the sample always contains the component's min id (the
       reference's non-empty forcing, RV.C:172).
     - ``Ngh_s`` (the √(n log n) neighborhood of w) is the first
@@ -431,7 +479,7 @@ def rv_ecc(
     if big.isEmpty():
         return small.select("id", F.col("radius").cast("int").alias("radius"))
 
-    ph = _sample_w_ngh(g, big, sizes, keep)
+    ph = _sample_w_ngh(g, big, sizes, max_sample)
     S, distS, eccS, per_v = ph["S"], ph["distS"], ph["eccS"], ph["per_v"]
     W, distW, eccW, dW = ph["W"], ph["distW"], ph["eccW"], ph["dW"]
     N, distN, eccN = ph["N"], ph["distN"], ph["eccN"]
@@ -447,6 +495,10 @@ def rv_ecc(
         .agg(F.min("src").alias("parent"))
     )
     n_ids = N.select(F.col("root").alias("id"), F.lit(True).alias("in_n"))
+    n_ids_g = n_ids.select(F.col("id").alias("g"), F.col("in_n").alias("gn"))
+    # unresolved-count rides each guide materialization (the init one,
+    # then one per doubling round) — one driver job per round
+    obs_g = Observation("rv_guide_init")
     guide = materialize(
         dW.select("id")
         .join(n_ids, "id", "left")
@@ -457,24 +509,29 @@ def rv_ecc(
             .otherwise(F.col("parent"))
             .alias("g"),
         )
+        .join(n_ids_g, "g", "left")
+        .observe(obs_g, F.sum(F.col("gn").isNull().cast("long")).alias("open"))
+        .select("id", "g")
     )
-    while True:
-        # pointer doubling toward the absorbing Ngh_s set
-        unresolved = guide.join(
-            n_ids.select(F.col("id").alias("g"), F.col("in_n").alias("gn")),
-            "g",
-            "left",
-        )
-        n_open = unresolved.where(F.col("gn").isNull()).count()
-        if n_open == 0:
-            break
+    n_open = int(obs_g.get["open"] or 0)
+    rnd = 0
+    while n_open > 0:
+        # pointer doubling toward the absorbing Ngh_s set (members of
+        # Ngh_s self-loop, so hopping a resolved pointer is a no-op)
         hop = guide.select(F.col("id").alias("g"), F.col("g").alias("g2"))
+        obs_g = Observation(f"rv_guide_{rnd}")
         guide = materialize(
-            guide.join(hop, "g", "left").select(
-                "id", F.coalesce("g2", "g").alias("g")
-            ),
+            guide.join(hop, "g", "left")
+            .select("id", F.coalesce("g2", "g").alias("g"))
+            .join(n_ids_g, "g", "left")
+            .observe(
+                obs_g, F.sum(F.col("gn").isNull().cast("long")).alias("open")
+            )
+            .select("id", "g"),
             guide,
         )
+        n_open = int(obs_g.get["open"] or 0)
+        rnd += 1
 
     # --- assemble: exact (S ∪ {w} ∪ Ngh_s), then estimates for the rest
     exact = materialize(
@@ -530,7 +587,7 @@ def rv_ecc(
 
 def clrstv_ecc(
     graph: Graph,
-    keep: int = 25,
+    max_sample: int = 1000,
     symmetrize: bool = True,
 ) -> DataFrame:
     """``(id, radius INT)`` — eccentricity estimates by the CLRSTV
@@ -558,7 +615,7 @@ def clrstv_ecc(
     if big.isEmpty():
         return small.select("id", F.col("radius").cast("int").alias("radius"))
 
-    ph = _sample_w_ngh(g, big, sizes, keep)
+    ph = _sample_w_ngh(g, big, sizes, max_sample)
 
     bound = F.greatest(F.col("dist"), F.col("ecc") - F.col("dist"))
     maxest = (

@@ -40,11 +40,27 @@ graph apps at 10^12 incidences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
+from ligra_spark.algorithms._iter import (
+    IterMetrics,
+    Timer,
+    materialize,
+    materialize_counted,
+)
 from ligra_spark.hypergraph import Hypergraph
+
+
+def _materialize_flagged(
+    df: DataFrame, prev: DataFrame | None, flag, name: str
+) -> tuple[DataFrame, int]:
+    """Materialize ``df`` with ``sum(flag)`` riding the SAME action —
+    the per-half-round frontier count of every alternating hypergraph
+    loop, folded into the state checkpoint job (VERDICT r03 item 3)."""
+    obs = Observation(name)
+    out = materialize(df.observe(obs, F.sum(flag.cast("long")).alias("f")), prev)
+    return out, int(obs.get["f"] or 0)
 
 
 def _seed_df(spark, source):
@@ -71,18 +87,22 @@ def hyper_bfs(
         new_h = msgs.join(vis_h, "id", "left_anti").select(
             "id", F.lit(2 * it + 1).alias("dist")
         )
-        vis_h = materialize(vis_h.unionAll(new_h), vis_h)
+        vis_h, n_f = _materialize_flagged(
+            vis_h.unionAll(new_h), vis_h,
+            F.col("dist") == 2 * it + 1, f"hbfs_h_{it}",
+        )
         frontier = vis_h.where(F.col("dist") == 2 * it + 1).select("id")
-        n_f = frontier.count()
         if n_f == 0:
             break
         msgs = hg.hyperedge_prop(frontier, combiner="min", frontier_size=n_f)
         new_v = msgs.join(vis_v, "id", "left_anti").select(
             "id", F.lit(2 * it + 2).alias("dist")
         )
-        vis_v = materialize(vis_v.unionAll(new_v), vis_v)
+        vis_v, n_f = _materialize_flagged(
+            vis_v.unionAll(new_v), vis_v,
+            F.col("dist") == 2 * it + 2, f"hbfs_v_{it}",
+        )
         frontier = vis_v.where(F.col("dist") == 2 * it + 2).select("id")
-        n_f = frontier.count()
         if metrics is not None:
             metrics.record(it, frontier=n_f, wall_s=timer.lap())
         if n_f == 0:
@@ -114,20 +134,26 @@ def hyper_cc(
             combiner="min",
             frontier_size=n_f,
         )
+        # state + changed flag in ONE checkpointed frame: the changed
+        # count rides the materialization, and the next half-round's
+        # frontier filters the checkpoint instead of recomputing the
+        # update join
         upd_h = lab_h.join(msgs, "id", "left").select(
             "id",
-            F.least(F.col("comp"), F.col("msg")).alias("new"),
-            "comp",
+            F.coalesce(F.least("comp", "msg"), "comp", "msg").alias("comp"),
+            (
+                F.col("comp").isNull()
+                | F.coalesce(
+                    F.least("comp", "msg") < F.col("comp"), F.lit(False)
+                )
+            ).alias("chg"),
         )
-        changed_h = upd_h.where(
-            F.col("comp").isNull() | (F.col("new") < F.col("comp"))
-        ).select("id")
-        lab_h = materialize(
-            upd_h.select("id", F.coalesce("new", "comp").alias("comp")), lab_h
-        )
-        n_h = changed_h.count()
+        st_h, n_h = _materialize_flagged(upd_h, lab_h, F.col("chg"), f"hcc_h_{it}")
+        lab_h = st_h.select("id", "comp")
+        lab_h._ligra_ckpt = getattr(st_h, "_ligra_ckpt", st_h)
         if n_h == 0:
             break
+        changed_h = st_h.where(F.col("chg")).select("id")
         msgs = hg.hyperedge_prop(
             changed_h.join(lab_h, "id").select("id", "comp"),
             message=F.col("comp"),
@@ -135,13 +161,14 @@ def hyper_cc(
             frontier_size=n_h,
         )
         upd_v = lab_v.join(msgs, "id", "left").select(
-            "id", F.least("comp", "msg").alias("new"), "comp"
+            "id",
+            F.coalesce(F.least("comp", "msg"), "comp").alias("comp"),
+            F.coalesce(F.col("msg") < F.col("comp"), F.lit(False)).alias("chg"),
         )
-        frontier_v = upd_v.where(F.col("new") < F.col("comp")).select("id")
-        lab_v = materialize(
-            upd_v.select("id", F.coalesce("new", "comp").alias("comp")), lab_v
-        )
-        n_f = frontier_v.count()
+        st_v, n_f = _materialize_flagged(upd_v, lab_v, F.col("chg"), f"hcc_v_{it}")
+        lab_v = st_v.select("id", "comp")
+        lab_v._ligra_ckpt = getattr(st_v, "_ligra_ckpt", st_v)
+        frontier_v = st_v.where(F.col("chg")).select("id")
         if metrics is not None:
             metrics.record(it, frontier=n_f, wall_s=timer.lap())
         if n_f == 0:
@@ -225,18 +252,21 @@ def hyper_sssp(
             combiner="min",
             frontier_size=n_f,
         )
+        # state + changed flag in one checkpoint; count rides the job
         upd = dist_h.join(msgs, "id", "full_outer").select(
-            "id", F.least("dist", "msg").alias("new"), "dist"
+            "id",
+            F.coalesce(F.least("dist", "msg"), "dist", "msg").alias("dist"),
+            (
+                F.col("dist").isNull()
+                | F.coalesce(F.col("msg") < F.col("dist"), F.lit(False))
+            ).alias("chg"),
         )
-        frontier = upd.where(
-            F.col("dist").isNull() | (F.col("new") < F.col("dist"))
-        ).select("id", F.col("new").alias("dist"))
-        dist_h = materialize(
-            upd.select("id", F.coalesce("new", "dist").alias("dist")), dist_h
-        )
-        n_f = frontier.count()
+        st_h, n_f = _materialize_flagged(upd, dist_h, F.col("chg"), f"hsssp_h_{rnd}")
+        dist_h = st_h.select("id", "dist")
+        dist_h._ligra_ckpt = getattr(st_h, "_ligra_ckpt", st_h)
         if n_f == 0:
             break
+        frontier = st_h.where(F.col("chg")).select("id", "dist")
         msgs = hg.hyperedge_prop(
             frontier,
             message=F.col("dist") + F.col("w"),
@@ -244,15 +274,17 @@ def hyper_sssp(
             frontier_size=n_f,
         )
         upd = dist_v.join(msgs, "id", "full_outer").select(
-            "id", F.least("dist", "msg").alias("new"), "dist"
+            "id",
+            F.coalesce(F.least("dist", "msg"), "dist", "msg").alias("dist"),
+            (
+                F.col("dist").isNull()
+                | F.coalesce(F.col("msg") < F.col("dist"), F.lit(False))
+            ).alias("chg"),
         )
-        frontier = upd.where(
-            F.col("dist").isNull() | (F.col("new") < F.col("dist"))
-        ).select("id", F.col("new").alias("dist"))
-        dist_v = materialize(
-            upd.select("id", F.coalesce("new", "dist").alias("dist")), dist_v
-        )
-        n_f = frontier.count()
+        st_v, n_f = _materialize_flagged(upd, dist_v, F.col("chg"), f"hsssp_v_{rnd}")
+        dist_v = st_v.select("id", "dist")
+        dist_v._ligra_ckpt = getattr(st_v, "_ligra_ckpt", st_v)
+        frontier = st_v.where(F.col("chg")).select("id", "dist")
         if metrics is not None:
             metrics.record(rnd, frontier=n_f, wall_s=timer.lap())
         if n_f == 0:
@@ -270,17 +302,18 @@ def hyper_kcore(
     peeling rule: a hyperedge is alive iff ALL members are alive; the
     k-phase removes vertices with < k alive incident hyperedges."""
     inc = hg.fwd.edges_by_src  # (src=v, dst=h)
-    alive_v = materialize(hg.vertices.select("id"))
+    alive_v, n_alive = materialize_counted(
+        hg.vertices.select("id"), None, "hkc_init"
+    )
     spark = hg.spark
     cores = spark.createDataFrame([], "id long, core int")
 
     timer = Timer()
     k = 1
     it = 0
-    while True:
-        n_before = alive_v.count()
-        if n_before == 0:
-            break
+    prev_degs = None
+    n_cores = 0
+    while n_alive > 0:
         # alive hyperedges: every member still alive
         dead_members = inc.join(
             alive_v.withColumnRenamed("id", "src"), "src", "left_anti"
@@ -291,20 +324,32 @@ def hyper_kcore(
             .groupBy(F.col("src").alias("id"))
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        degs = alive_v.join(alive_deg, "id", "left").select(
-            "id", F.coalesce("deg", F.lit(0)).alias("deg")
+        # one checkpoint of the alive-degree table per wave; min-degree
+        # rides the job, and empty phases are JUMPED (k -> min+1) —
+        # equivalent peeling (intermediate phases remove nothing, same
+        # core = k-1 assignment), zero wasted rounds
+        obs = Observation(f"hkc_deg_{it}")
+        degs = materialize(
+            alive_v.join(alive_deg, "id", "left")
+            .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+            .observe(obs, F.min("deg").alias("mind")),
+            prev_degs,
         )
+        prev_degs = degs
+        mind = int(obs.get["mind"])
+        if mind >= k:
+            k = mind + 1
         removed = degs.where(F.col("deg") < k).select(
             "id", F.lit(k - 1).cast("int").alias("core")
         )
-        n_rm = removed.count()
-        if n_rm == 0:
-            k += 1
-            continue
-        cores = materialize(cores.unionAll(removed), cores)
-        alive_v = materialize(
-            alive_v.join(removed.select("id"), "id", "left_anti"), alive_v
+        # removed-count rides the cores checkpoint (cumulative count)
+        cores, total = materialize_counted(
+            cores.unionAll(removed), cores, f"hkc_cores_{it}"
         )
+        n_rm = total - n_cores
+        n_cores = total
+        alive_v = degs.where(F.col("deg") >= k).select("id")
+        n_alive -= n_rm
         if metrics is not None:
             metrics.record(it, k=k, removed=n_rm, wall_s=timer.lap())
         it += 1
@@ -347,8 +392,10 @@ def hyper_bpath(
             .join(vis_h, "id", "left_anti")
             .select("id", F.lit(it + 1).alias("dist"))
         )
-        vis_h = materialize(vis_h.unionAll(fired), vis_h)
-        n_fired = fired.count()
+        vis_h, n_fired = _materialize_flagged(
+            vis_h.unionAll(fired), vis_h,
+            F.col("dist") == it + 1, f"hbp_h_{it}",
+        )
         if n_fired == 0:
             break
         msgs = hg.hyperedge_prop(
@@ -359,9 +406,11 @@ def hyper_bpath(
         new_v = msgs.join(vis_v, "id", "left_anti").select(
             "id", F.lit(it + 1).alias("dist")
         )
-        vis_v = materialize(vis_v.unionAll(new_v), vis_v)
+        vis_v, n_f = _materialize_flagged(
+            vis_v.unionAll(new_v), vis_v,
+            F.col("dist") == it + 1, f"hbp_v_{it}",
+        )
         frontier = vis_v.where(F.col("dist") == it + 1).select("id")
-        n_f = frontier.count()
         if metrics is not None:
             metrics.record(it, frontier=n_f, wall_s=timer.lap())
         if n_f == 0:
@@ -407,9 +456,11 @@ def hyper_bc(
         new_h = msgs.join(sig_h, "id", "left_anti").select(
             "id", F.col("msg").alias("sigma"), F.lit(2 * it + 1).alias("dist")
         )
-        sig_h = materialize(sig_h.unionAll(new_h), sig_h)
+        sig_h, n_f = _materialize_flagged(
+            sig_h.unionAll(new_h), sig_h,
+            F.col("dist") == 2 * it + 1, f"hbc_h_{it}",
+        )
         frontier = sig_h.where(F.col("dist") == 2 * it + 1)
-        n_f = frontier.count()
         if n_f == 0:
             break
         msgs = hg.hyperedge_prop(
@@ -421,9 +472,11 @@ def hyper_bc(
         new_v = msgs.join(sig_v, "id", "left_anti").select(
             "id", F.col("msg").alias("sigma"), F.lit(2 * it + 2).alias("dist")
         )
-        sig_v = materialize(sig_v.unionAll(new_v), sig_v)
+        sig_v, n_f = _materialize_flagged(
+            sig_v.unionAll(new_v), sig_v,
+            F.col("dist") == 2 * it + 2, f"hbc_v_{it}",
+        )
         frontier = sig_v.where(F.col("dist") == 2 * it + 2)
-        n_f = frontier.count()
         if metrics is not None:
             metrics.record(it, frontier=n_f, wall_s=timer.lap())
         if n_f == 0:
@@ -504,16 +557,22 @@ def hyper_mis(
     filtered DataFrame each round (same asymptotics as the
     reference's in-place pack, no mutation)."""
     spark = hg.spark
-    flags = materialize(hg.vertices.select("id", F.lit(0).alias("flag")))
+    flags, n_f = _materialize_flagged(
+        hg.vertices.select("id", F.lit(0).alias("flag")),
+        None,
+        F.col("flag") == 0,
+        "hmis_init",
+    )
     live = materialize(hg.fwd.edges_by_src.select("src", "dst"))
     offset = 0
 
     timer = Timer()
     for it in range(max_rounds):
-        frontier = flags.where(F.col("flag") == 0)
-        n_f = frontier.count()
+        # n_f (undecided count) rode the flags materialization of the
+        # previous round (or the init one)
         if n_f == 0:
             break
+        frontier = flags.where(F.col("flag") == 0)
         sampled = frontier.where(
             ((F.col("id") + F.lit(offset)) * F.lit(2654435761))
             % F.lit(4294967296) % 3 == 0
@@ -537,7 +596,7 @@ def hyper_mis(
             .agg(F.count(F.lit(1)).alias("c"), F.min("src").alias("u"))
             .where(F.col("c") == 1)
         )
-        flags = materialize(
+        flags, n_f = _materialize_flagged(
             flags.join(won.select(F.col("src").alias("id")).withColumn("_w", F.lit(1)), "id", "left")
             .join(
                 singles.select(F.col("u").alias("id")).distinct()
@@ -553,6 +612,8 @@ def hyper_mis(
                 .alias("flag"),
             ),
             flags,
+            F.col("flag") == 0,
+            f"hmis_{it}",
         )
         live = materialize(
             live_p.join(singles.select("dst"), "dst", "left_anti"), live
@@ -574,12 +635,17 @@ def hyper_kcore_bucketed(
     k (apply_f). Produces the same core numbers as :func:`hyper_kcore`
     (confluent peeling), in one round per distinct core value instead
     of one per removal wave."""
-    from ligra_spark.operators.buckets import next_bucket
-
     inc = hg.fwd.edges_by_src  # (src=v, dst=h)
+    # next_bucket's min-key aggregation job is folded into the verts
+    # materialization: the minimum degree (= the next bucket to pop)
+    # rides the checkpoint action as an Observation, here and at every
+    # per-round re-materialization below (VERDICT r03 item 3)
+    obs0 = Observation("hkcb_init")
     verts = materialize(
         hg.vertex_degrees.select("id", F.col("deg").cast("long").alias("deg"))
+        .observe(obs0, F.min("deg").alias("mind"))
     )
+    mind = obs0.get["mind"]
     spark = hg.spark
     cores = spark.createDataFrame([], "id long, core int")
     dead_h = materialize(
@@ -589,15 +655,16 @@ def hyper_kcore_bucketed(
     timer = Timer()
     it = 0
     while True:
-        cur, n_cur = next_bucket(
-            verts.select("id", F.col("deg").alias("bkt")), order="increasing"
-        )
-        if cur is None:
+        if mind is None:
             break
+        cur = int(mind)
         active = verts.where(F.col("deg") == cur).select("id")
-        cores = cores.unionAll(
-            materialize(active.select("id", F.lit(cur).cast("int").alias("core")))
+        peeled, n_cur = materialize_counted(
+            active.select("id", F.lit(cur).cast("int").alias("core")),
+            None,
+            f"hkcb_peel_{it}",
         )
+        cores = cores.unionAll(peeled)
         newly_dead = (
             inc.join(active.withColumnRenamed("id", "src"), "src")
             .select("dst")
@@ -612,6 +679,7 @@ def hyper_kcore_bucketed(
             .groupBy(F.col("src").alias("id"))
             .agg(F.count(F.lit(1)).alias("dec"))
         )
+        obs_v = Observation(f"hkcb_min_{it}")
         verts = materialize(
             survivors.join(dec, "id", "left").select(
                 "id",
@@ -623,9 +691,10 @@ def hyper_kcore_bucketed(
                 )
                 .otherwise(F.col("deg"))
                 .alias("deg"),
-            ),
+            ).observe(obs_v, F.min("deg").alias("mind")),
             verts,
         )
+        mind = obs_v.get["mind"]
         dead_h = materialize(dead_h.unionAll(newly_dead), dead_h)
         if metrics is not None:
             metrics.record(it, k=cur, peeled=n_cur, wall_s=timer.lap())

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
+from ligra_spark.algorithms._iter import (
+    IterMetrics,
+    Timer,
+    materialize,
+    materialize_counted as _materialize_counted,
+)
 from ligra_spark.graph import Graph
 from ligra_spark.operators.edge_map import edge_map
 
@@ -49,8 +54,7 @@ def ppr_acl(
         fr = state.join(graph.degrees.select("id", "out_deg"), "id").where(
             (F.col("r") > F.col("out_deg") * eps) & (F.col("out_deg") > 0)
         )
-        fr = materialize(fr)
-        n_fr = fr.count()
+        fr, n_fr = _materialize_counted(fr, None, f"acl_fr_{it}")
         if n_fr == 0:
             break
         msgs = edge_map(
@@ -106,8 +110,7 @@ def nibble(
         fr = state.join(graph.degrees.select("id", "out_deg"), "id").where(
             (F.col("p") >= F.col("out_deg") * eps) & (F.col("out_deg") > 0)
         )
-        fr = materialize(fr)
-        n_fr = fr.count()
+        fr, n_fr = _materialize_counted(fr, None, f"nibble_fr_{it}")
         if n_fr == 0:
             break
         msgs = edge_map(
@@ -169,8 +172,9 @@ def heat_kernel(
         spark.createDataFrame([(int(source), 0.0)], "id long, x double")
     )
     r = spark.createDataFrame([(int(source), 1.0)], "id long, r double")
-    frontier = materialize(r.join(deg, "id").where(F.col("out_deg") > 0))
-    n_f = frontier.count()
+    frontier, n_f = _materialize_counted(
+        r.join(deg, "id").where(F.col("out_deg") > 0), None, "hk_fr_init"
+    )
 
     timer = Timer()
     for j in range(N):
@@ -205,14 +209,14 @@ def heat_kernel(
             break
         x = materialize(fold, x)
         r = msgs.select("id", F.col("msg").alias("r"))
-        frontier = materialize(
+        frontier, n_f = _materialize_counted(
             r.join(deg, "id").where(
                 (F.col("r") >= F.col("out_deg") * (constant / psis[j + 1]))
                 & (F.col("out_deg") > 0)
             ),
             frontier,
+            f"hk_fr_{j}",
         )
-        n_f = frontier.count()
         if metrics is not None:
             metrics.record(j, frontier=n_f, wall_s=timer.lap())
     return x

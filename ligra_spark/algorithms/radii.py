@@ -14,7 +14,7 @@ combiner set covers the reference's writeOr algorithms.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
@@ -55,9 +55,14 @@ def radii(
         F.coalesce("bit", F.lit(0)).alias("mask"),
         F.when(F.col("bit").isNotNull(), 0).otherwise(F.lit(-1)).alias("radius"),
     )
-    state = materialize(state)
+    obs0 = Observation(f"radii_init_{id(state)}")
+    state = materialize(
+        state.observe(
+            obs0, F.sum((F.col("mask") != 0).cast("long")).alias("f")
+        )
+    )
     frontier = state.where(F.col("mask") != 0).select("id", "mask")
-    frontier_n = frontier.count()
+    frontier_n = int(obs0.get["f"] or 0)
 
     timer = Timer()
     for it in range(max_iters):
@@ -76,11 +81,19 @@ def radii(
             "radius",
             (F.col("mask").bitwiseOR(F.coalesce("msg", F.lit(0)))).alias("mask_new"),
         )
+        # next frontier size rides the materialization action (one
+        # driver job per round instead of two — same fold as the
+        # headline family, VERDICT r03 item 3)
+        obs = Observation(f"radii_f_{it}")
+        nxt = nxt.observe(
+            obs,
+            F.sum((F.col("mask_new") != F.col("mask")).cast("long")).alias("f"),
+        )
         nxt = materialize(nxt, state)
+        frontier_n = int(obs.get["f"] or 0)
         frontier = nxt.where(F.col("mask_new") != F.col("mask")).select(
             "id", F.col("mask_new").alias("mask")
         )
-        frontier_n = frontier.count()
         state = nxt.select(
             "id",
             F.col("mask_new").alias("mask"),
@@ -130,6 +143,11 @@ def kbfs_sampled_ecc(
     exact over the sampled source sets."""
     from pyspark.sql import Window
 
+    if k > 64:
+        # the JVM masks shiftleft amounts mod 64, so k > 64 would
+        # silently alias source bits (same 64-bit visited-word width
+        # the reference kBFS-Ecc.C assumes) — fail loudly instead
+        raise ValueError(f"kbfs_sampled_ecc: k must be <= 64, got {k}")
     g = graph.symmetrized() if not graph.symmetric else graph
     if sample_rank is None:
         sample_rank = F.xxhash64(F.col("id") + F.lit(seed))
@@ -142,15 +160,18 @@ def kbfs_sampled_ecc(
     def _propagate(sources: DataFrame) -> DataFrame:
         """OR-propagate per-component bit masks; (id, ecc) = last round
         each vertex's mask changed (0 if never reached beyond init)."""
+        obs0 = Observation(f"kbfs_init_{id(sources)}")
         state = materialize(
-            labels.join(sources.select("id", "bit"), "id", "left").select(
+            labels.join(sources.select("id", "bit"), "id", "left")
+            .select(
                 "id",
                 F.coalesce("bit", F.lit(0)).alias("mask"),
                 F.lit(0).alias("ecc"),
             )
+            .observe(obs0, F.sum((F.col("mask") != 0).cast("long")).alias("f"))
         )
         frontier = state.where(F.col("mask") != 0).select("id", "mask")
-        frontier_n = frontier.count()
+        frontier_n = int(obs0.get["f"] or 0)
         timer = Timer()
         for it in range(1000):
             if frontier_n == 0:
@@ -165,11 +186,19 @@ def kbfs_sampled_ecc(
                 "ecc",
                 F.col("mask").bitwiseOR(F.coalesce("msg", F.lit(0))).alias("mask_new"),
             )
+            # frontier size rides the materialization (one job/round)
+            obs = Observation(f"kbfs_f_{id(nxt)}_{it}")
+            nxt = nxt.observe(
+                obs,
+                F.sum(
+                    (F.col("mask_new") != F.col("mask")).cast("long")
+                ).alias("f"),
+            )
             nxt = materialize(nxt, state)
+            frontier_n = int(obs.get["f"] or 0)
             frontier = nxt.where(F.col("mask_new") != F.col("mask")).select(
                 "id", F.col("mask_new").alias("mask")
             )
-            frontier_n = frontier.count()
             state = nxt.select(
                 "id",
                 F.col("mask_new").alias("mask"),

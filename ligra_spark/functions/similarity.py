@@ -254,13 +254,20 @@ def cosine_topk_kernel(
             # (Q, block), C-contiguous: top-k along axis=1 is a
             # sequential scan, never a 16KB-strided column walk
             sims = q_mat @ (mat / norms[:, None]).T
-            # self-match masking in O(matches), not an n×Q bool mask
-            pos = np.searchsorted(q_sorted, ids)
-            hit = np.flatnonzero(
-                (pos < len(q_sorted))
-                & (q_sorted[np.minimum(pos, len(q_sorted) - 1)] == ids)
-            )
-            sims[q_order[pos[hit]], hit] = -np.inf
+            # self-match masking in O(matches), not an n×Q bool mask;
+            # left/right searchsorted covers DUPLICATE query ids (every
+            # query row sharing the corpus id is masked, not just the
+            # first occurrence — ADVICE r03)
+            lo_p = np.searchsorted(q_sorted, ids, side="left")
+            hi_p = np.searchsorted(q_sorted, ids, side="right")
+            hit = np.flatnonzero(hi_p > lo_p)
+            if len(hit):
+                cnt = hi_p[hit] - lo_p[hit]
+                # flat indices lo..hi per hit, fully vectorized
+                flat = np.arange(cnt.sum()) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                ) + np.repeat(lo_p[hit], cnt)
+                sims[q_order[flat], np.repeat(hit, cnt)] = -np.inf
             top = min(k, sims.shape[1])
             idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
             cand_s = np.concatenate(
@@ -293,7 +300,10 @@ def cosine_topk_kernel(
                 fold(ids_all[lo : lo + BLOCK], mat_all[lo : lo + BLOCK])
         if not seen:
             return
-        live = best_n >= 0  # queries may see < k rows in this partition
+        # slot validity tracked by score, not an id sentinel: -1 is a
+        # legitimate neighbor id, while -inf can only mean "slot never
+        # filled" or "self-masked" (cosine sims are finite) — ADVICE r03
+        live = best_s > -np.inf  # queries may see < k rows in this partition
         out_q = np.repeat(q_ids, k)[live.ravel()]
         yield pa.RecordBatch.from_arrays(
             [

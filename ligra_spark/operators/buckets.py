@@ -150,21 +150,29 @@ def kcore_bucketed(
     between occupied degree levels instead of scanning k = 1, 2, 3, …
 
     Returns ``(id, core LONG)`` over the symmetrized simple graph."""
+    from pyspark.sql import Observation
+
     from ligra_spark.algorithms._iter import Timer, materialize
 
     g = graph.symmetrized() if not graph.symmetric else graph
+    # next_bucket's min-key job rides the state materialization as an
+    # Observation — one driver job per round total (VERDICT r03 items
+    # 3/5); the popped-bucket size rides the same action via the _a
+    # marker column (dropped from the logical state after checkpoint).
+    obs0 = Observation(f"kcb_init_{id(graph)}")
     state = materialize(
         g.degrees.select(
             "id",
             F.col("out_deg").alias("bkt"),  # pending bucket = induced degree
             F.lit(None).cast("long").alias("core"),
-        )
+        ).observe(obs0, F.min("bkt").alias("mink"))
     )
+    k = obs0.get["mink"]
     timer = Timer()
     for it in range(max_rounds):
-        k, n_k = next_bucket(state)
         if k is None:
             break
+        k = int(k)
         active = state.where(F.col("bkt") == k).select("id")
         decr = edge_map_count(g, active, by="dst")
         nxt = (
@@ -184,10 +192,22 @@ def kcore_bucketed(
                 F.when(F.col("_a").isNotNull(), F.lit(k).cast("long"))
                 .otherwise(F.col("core"))
                 .alias("core"),
+                F.col("_a"),
             )
         )
-        nxt = materialize(nxt, state)
-        state = nxt
+        obs = Observation(f"kcb_{id(graph)}_{it}")
+        nxt = materialize(
+            nxt.observe(
+                obs,
+                F.min("bkt").alias("mink"),
+                F.sum(F.col("_a").isNotNull().cast("long")).alias("n_k"),
+            ),
+            state,
+        )
+        n_k = int(obs.get["n_k"] or 0)
+        state = nxt.select("id", "bkt", "core")
+        state._ligra_ckpt = getattr(nxt, "_ligra_ckpt", nxt)
         if metrics is not None:
             metrics.record(it, k=k, peeled=n_k, wall_s=timer.lap())
+        k = obs.get["mink"]
     return state.select("id", "core")

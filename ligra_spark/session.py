@@ -50,7 +50,42 @@ _DEFAULTS = {
 # total GC pause and flat iterations. The one-time pre-touch cost
 # (~5-10s for 48g) lands at session start, outside any timed path —
 # exactly where spark-submit clusters pay it too.
+#
+# Pre-faulting is an explicit opt-in (SPARK_GRAFT_PRETOUCH=1, set by
+# bench.py / bench_scaling.py): on a host with less free RAM than the
+# configured heap an eager -Xms either fails JVM startup or thrashes
+# pre-touching pages, so plain library callers keep the lazy
+# -Xmx-only heap. Even when opted in, -Xms is clamped to the host's
+# MemAvailable.
 _PRETOUCH = "-XX:+AlwaysPreTouch"
+
+
+def _mem_available_gb() -> int | None:
+    """Host MemAvailable in whole GiB (Linux); None if unreadable."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) // (1024 * 1024)
+    except OSError:
+        pass
+    return None
+
+
+def _xms_for(driver_mem: str) -> str | None:
+    """Clamped -Xms value, or None when the heap can't be expressed in
+    GiB or the host has no headroom for an eager heap."""
+    if not driver_mem.lower().endswith("g"):
+        return None
+    want = int(driver_mem[:-1])
+    avail = _mem_available_gb()
+    if avail is None:
+        return driver_mem
+    # leave ~10% headroom for Python workers / page cache
+    usable = max(avail - max(avail // 10, 2), 0)
+    if usable < 1:
+        return None
+    return f"{min(want, usable)}g"
 
 
 def get_spark(
@@ -86,13 +121,17 @@ def get_spark(
     )
     if extra_conf:
         conf.update(extra_conf)
-    # heap pre-fault (see _PRETOUCH above); applied AFTER extra_conf so
-    # caller-supplied extraJavaOptions are merged in, not clobbered
-    jopts = f"-Xms{conf['spark.driver.memory']} {_PRETOUCH}"
-    prev_jopts = conf.get("spark.driver.extraJavaOptions", "")
-    conf["spark.driver.extraJavaOptions"] = (
-        f"{jopts} {prev_jopts}".strip() if prev_jopts else jopts
-    )
+    # heap pre-fault (see _PRETOUCH above): opt-in via env, clamped to
+    # host MemAvailable; applied AFTER extra_conf so caller-supplied
+    # extraJavaOptions are merged in, not clobbered
+    if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
+        xms = _xms_for(conf["spark.driver.memory"])
+        if xms is not None:
+            jopts = f"-Xms{xms} {_PRETOUCH}"
+            prev_jopts = conf.get("spark.driver.extraJavaOptions", "")
+            conf["spark.driver.extraJavaOptions"] = (
+                f"{jopts} {prev_jopts}".strip() if prev_jopts else jopts
+            )
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

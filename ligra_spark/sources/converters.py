@@ -39,6 +39,16 @@ __all__ = [
     "grid_graph",
     "rand_hypergraph_incidence",
     "rand_local_graph",
+    "clique_expand",
+    "konect_to_clique",
+    "community_to_clique",
+    "konect_to_mesh",
+    "community_to_mesh",
+    "wgh_snap_to_adj",
+    "write_adjacency_hypergraph",
+    "parse_adjacency_hypergraph",
+    "adj_hypergraph_add_weights",
+    "hyper_adj_to_binary",
 ]
 
 
@@ -189,6 +199,322 @@ def read_community_hyperedges(spark: SparkSession, path: str) -> DataFrame:
     )
     vmap = _dense_rank(members, "rv", "v")
     return members.join(vmap, "rv").select("v", "h")
+
+
+# --------------------------------------------------------------------------
+# clique / MESH / weighted-hypergraph converter shims (utils/, r04)
+# --------------------------------------------------------------------------
+
+
+def _parse_konect_file(path: str) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """KONECT bipartite text → ``(v, h, nv, nh)`` incidence arrays in
+    FILE ORDER, both sides ID-compressed to dense ascending-id ranks —
+    graphIO.h:998-1060 readKONECT's presence-bitmap plusScan."""
+    rv, rh = [], []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("%"):
+                continue
+            parts = line.split()
+            rv.append(int(parts[0]))
+            rh.append(int(parts[1]))
+    rv = np.asarray(rv, dtype=np.int64)
+    rh = np.asarray(rh, dtype=np.int64)
+    uv, v = np.unique(rv, return_inverse=True)
+    uh, h = np.unique(rh, return_inverse=True)
+    return v.astype(np.int64), h.astype(np.int64), len(uv), len(uh)
+
+
+def _parse_community_file(path: str) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """SNAP community text → ``(v, h, nv, nh)``: hyperedge id = data
+    line index, members ID-compressed dense (graphIO.h:892-942
+    readHyperedges)."""
+    vs, hs = [], []
+    h = 0
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            for tok in line.split():
+                vs.append(int(tok))
+                hs.append(h)
+            h += 1
+    rv = np.asarray(vs, dtype=np.int64)
+    uv, v = np.unique(rv, return_inverse=True)
+    return v.astype(np.int64), np.asarray(hs, dtype=np.int64), len(uv), h
+
+
+def _clique_edges_np(
+    v: np.ndarray, h: np.ndarray, nv: int, nh: int, weighted: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Expand each hyperedge into a directed clique over its members —
+    BOTH directions per unordered pair, multi-edges across hyperedges
+    kept (KONECTtoClique.C cliquesFromHyperedges:30-79 emits (j,k) and
+    (k,j) per pair and never dedupes). Weighted form stamps every edge
+    of hyperedge i with ``(hashInt32(i) % floor(log2(max(nv,nh)))) + 1``
+    (wghCliquesFromHyperedges:100-122, Choices[k]=k+1)."""
+    order = np.argsort(h, kind="stable")
+    v, h = v[order], h[order]
+    srcs, dsts, ws = [], [], []
+    if weighted:
+        max_len = max(1, int(np.log2(max(nv, nh))))
+        out_w = (
+            hash_int32(np.arange(nh, dtype=np.uint32)) % np.uint32(max_len)
+            + np.uint32(1)
+        ).astype(np.int64)
+    bounds = np.searchsorted(h, np.arange(nh + 1))
+    for i in range(nh):
+        mem = v[bounds[i] : bounds[i + 1]]
+        ln = len(mem)
+        if ln < 2:
+            continue
+        a, b = np.triu_indices(ln, k=1)
+        srcs.append(np.concatenate([mem[a], mem[b]]))
+        dsts.append(np.concatenate([mem[b], mem[a]]))
+        if weighted:
+            ws.append(np.full(2 * len(a), out_w[i], dtype=np.int64))
+    src = np.concatenate(srcs) if srcs else np.empty(0, dtype=np.int64)
+    dst = np.concatenate(dsts) if dsts else np.empty(0, dtype=np.int64)
+    w = (
+        (np.concatenate(ws) if ws else np.empty(0, dtype=np.int64))
+        if weighted
+        else None
+    )
+    return src, dst, w
+
+
+def clique_expand(inc: DataFrame, weighted: bool = False) -> DataFrame:
+    """DataFrame-native clique expansion of an incidence ``(v, h)`` —
+    the scale path of KONECTtoClique/communityToClique: a self-join on
+    the hyperedge id emits every ordered member pair (both directions),
+    one shuffle keyed by ``h``. ``weighted`` stamps the reference's
+    per-hyperedge hashInt32 weight (computed by an Arrow kernel over
+    the distinct hyperedge ids — never per-row Python)."""
+    a = inc.select(F.col("h"), F.col("v").alias("src"))
+    b = inc.select(F.col("h"), F.col("v").alias("dst"))
+    pairs = a.join(b, "h").where(F.col("src") != F.col("dst"))
+    if not weighted:
+        return pairs.select("src", "dst")
+    stats = inc.agg(
+        (F.max("v") + 1).alias("nv"), (F.max("h") + 1).alias("nh")
+    ).first()
+    max_len = max(1, int(np.log2(max(int(stats["nv"]), int(stats["nh"])))))
+
+    def wgh(batches):
+        for pdf in batches:
+            hh = pdf["h"].to_numpy(np.int64)
+            w = (
+                hash_int32(hh.astype(np.uint32)) % np.uint32(max_len)
+                + np.uint32(1)
+            ).astype(np.int64)
+            yield pd.DataFrame({"h": hh, "w": w})
+
+    hw = inc.select("h").distinct().mapInPandas(wgh, "h long, w long")
+    return pairs.join(hw, "h").select("src", "dst", "w")
+
+
+def konect_to_clique(in_path: str, out_path: str, weighted: bool = False) -> None:
+    """KONECTtoClique.C: KONECT bipartite file → AdjacencyGraph of the
+    clique expansion (``-w`` → WeightedAdjacencyGraph with the
+    per-hyperedge hashInt32 weight stream). Neighbor lists are written
+    dst-sorted (canonical CSR; the reference preserves generation
+    order — same edge multiset)."""
+    v, h, nv, nh = _parse_konect_file(in_path)
+    src, dst, w = _clique_edges_np(v, h, nv, nh, weighted)
+    write_adjacency_graph(out_path, src, dst, w, n=nv)
+
+
+def community_to_clique(in_path: str, out_path: str, weighted: bool = False) -> None:
+    """communityToClique.C: SNAP community file → AdjacencyGraph of the
+    clique expansion (see :func:`konect_to_clique`)."""
+    v, h, nv, nh = _parse_community_file(in_path)
+    src, dst, w = _clique_edges_np(v, h, nv, nh, weighted)
+    write_adjacency_graph(out_path, src, dst, w, n=nv)
+
+
+def konect_to_mesh(in_path: str, out_path: str) -> None:
+    """KONECTtoMESH.C: KONECT bipartite file → MESH CSV — one
+    ``h,v`` line per incidence in file order, ids compressed
+    (the reference writes the HE = (hyperedge, vertex) pair array,
+    KONECTtoMESH.C:110-128)."""
+    v, h, _, _ = _parse_konect_file(in_path)
+    with open(out_path, "w") as f:
+        for hi, vi in zip(h, v):
+            f.write(f"{hi},{vi}\n")
+
+
+def community_to_mesh(in_path: str, out_path: str) -> None:
+    """communityToMESH.C: SNAP community file → MESH CSV (one ``h,v``
+    incidence line per member, file order)."""
+    v, h, _, _ = _parse_community_file(in_path)
+    with open(out_path, "w") as f:
+        for hi, vi in zip(h, v):
+            f.write(f"{hi},{vi}\n")
+
+
+def wgh_snap_to_adj(in_path: str, out_path: str, symmetrize: bool = False) -> None:
+    """wghSNAPtoAdj.C: 3-column SNAP edge list (``u v w``, ``#``
+    comments) → WeightedAdjacencyGraph. Ids are NOT compressed
+    (n = max id + 1, readWghSNAP graphIO.h:859-890); ``symmetrize``
+    drops self-loops, adds reversed edges, and dedupes full (u,v,w)
+    rows (makeSymmetric graphIO.h:318-334)."""
+    us, vs, ws = [], [], []
+    with open(in_path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            us.append(int(parts[0]))
+            vs.append(int(parts[1]))
+            ws.append(int(parts[2]))
+    u = np.asarray(us, dtype=np.int64)
+    v = np.asarray(vs, dtype=np.int64)
+    w = np.asarray(ws, dtype=np.int64)
+    n = int(max(u.max(initial=-1), v.max(initial=-1)) + 1) if len(u) else 0
+    if symmetrize:
+        keep = u != v
+        u, v, w = u[keep], v[keep], w[keep]
+        u2 = np.concatenate([u, v])
+        v2 = np.concatenate([v, u])
+        w2 = np.concatenate([w, w])
+        trip = np.unique(np.stack([u2, v2, w2], axis=1), axis=0)
+        u, v, w = trip[:, 0], trip[:, 1], trip[:, 2]
+    write_adjacency_graph(out_path, u, v, w, n=n)
+
+
+def write_adjacency_hypergraph(
+    path: str,
+    v_inc: tuple[np.ndarray, np.ndarray],
+    h_inc: tuple[np.ndarray, np.ndarray],
+    nv: int,
+    nh: int,
+    wv: np.ndarray | None = None,
+    wh: np.ndarray | None = None,
+) -> None:
+    """Write the AdjacencyHypergraph text format (graphIO.h
+    writeHypergraphToFile:745-767 / writeWghHypergraphToFile:795-823):
+    magic, nv, mv, nh, mh, nv vertex CSR offsets, mv hyperedge targets
+    [, mv weights], nh hyperedge CSR offsets, mh vertex targets
+    [, mh weights]. ``v_inc`` = (src_vertex, dst_hyperedge) pairs,
+    ``h_inc`` = (src_hyperedge, dst_vertex) pairs; each side is
+    CSR-ified by stable source sort (preserving the caller's
+    within-source order, like the reference's stable radix sort)."""
+    weighted = wv is not None
+
+    def csr(src, dst, w, n):
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        order = np.argsort(src, kind="stable")
+        src, dst = src[order], dst[order]
+        w = np.asarray(w, dtype=np.int64)[order] if w is not None else None
+        counts = np.bincount(src, minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        return offsets, dst, w
+
+    off_v, tgt_v, w_v = csr(v_inc[0], v_inc[1], wv, nv)
+    off_h, tgt_h, w_h = csr(h_inc[0], h_inc[1], wh, nh)
+    with open(path, "w") as f:
+        f.write(
+            "WeightedAdjacencyHypergraph\n" if weighted else "AdjacencyHypergraph\n"
+        )
+        f.write(f"{nv}\n{len(tgt_v)}\n{nh}\n{len(tgt_h)}\n")
+        for arr in (
+            (off_v, tgt_v, w_v, off_h, tgt_h, w_h)
+            if weighted
+            else (off_v, tgt_v, off_h, tgt_h)
+        ):
+            np.savetxt(f, arr, fmt="%d")
+
+
+def parse_adjacency_hypergraph(
+    path: str,
+) -> dict:
+    """Parse AdjacencyHypergraph / WeightedAdjacencyHypergraph text →
+    dict with ``nv nh srcv dstv srch dsth [wv wh]`` arrays
+    (hypergraphIO.h:40-120 readHypergraphFromFile layout)."""
+    with open(path) as f:
+        magic = f.readline().strip()
+        weighted = magic == "WeightedAdjacencyHypergraph"
+        if not weighted and magic != "AdjacencyHypergraph":
+            raise ValueError(f"bad hypergraph magic: {magic}")
+        nums = np.loadtxt(f, dtype=np.int64, ndmin=1)
+    nv, mv, nh, mh = (int(x) for x in nums[:4])
+    pos = 4
+    off_v = nums[pos : pos + nv]; pos += nv
+    tgt_v = nums[pos : pos + mv]; pos += mv
+    wv = None
+    if weighted:
+        wv = nums[pos : pos + mv]; pos += mv
+    off_h = nums[pos : pos + nh]; pos += nh
+    tgt_h = nums[pos : pos + mh]; pos += mh
+    wh = nums[pos : pos + mh] if weighted else None
+
+    def expand(off, m, n):
+        deg = np.diff(np.concatenate([off, [m]]))
+        return np.repeat(np.arange(n, dtype=np.int64), deg)
+
+    return dict(
+        nv=nv, nh=nh,
+        srcv=expand(off_v, mv, nv), dstv=tgt_v,
+        srch=expand(off_h, mh, nh), dsth=tgt_h,
+        wv=wv, wh=wh,
+    )
+
+
+def adj_hypergraph_add_weights(in_path: str, out_path: str) -> None:
+    """adjHypergraphAddWeights.C: stamp deterministic weights onto an
+    AdjacencyHypergraph — every vertex→h incidence gets the
+    hyperedge's IN-weight ``(hashInt32(h) % L) + 1`` and every
+    h→vertex incidence the hyperedge's OUT-weight
+    ``(hashInt32(h + nh) % L) + 1``, L = floor(log2(max(nv, nh)))
+    (adjHypergraphAddWeights.C:40-80, Choices[k]=k+1)."""
+    g = parse_adjacency_hypergraph(in_path)
+    nv, nh = g["nv"], g["nh"]
+    max_len = max(1, int(np.log2(max(nv, nh))))
+    in_w = (
+        hash_int32(np.arange(nh, dtype=np.uint32)) % np.uint32(max_len)
+        + np.uint32(1)
+    ).astype(np.int64)
+    out_w = (
+        hash_int32((np.arange(nh) + nh).astype(np.uint32)) % np.uint32(max_len)
+        + np.uint32(1)
+    ).astype(np.int64)
+    wv = in_w[g["dstv"]]          # v->h incidences weighted by target h
+    wh = out_w[g["srch"]]         # h->v incidences weighted by source h
+    write_adjacency_hypergraph(
+        out_path,
+        (g["srcv"], g["dstv"]),
+        (g["srch"], g["dsth"]),
+        nv,
+        nh,
+        wv=wv,
+        wh=wh,
+    )
+
+
+def hyper_adj_to_binary(in_path: str, out_prefix: str) -> None:
+    """hyperAdjToBinary.C: AdjacencyHypergraph text →
+    ``.config`` (``nv mv nh mh``) + ``.vidx/.vadj/.hidx/.hadj``
+    little-endian int64 binaries (the unweighted path of
+    hyperAdjToBinary.C:26-100; uintT/uintE both map to int64 here,
+    matching the engine's binary graph reader convention)."""
+    g = parse_adjacency_hypergraph(in_path)
+    nv, nh = g["nv"], g["nh"]
+    mv, mh = len(g["dstv"]), len(g["dsth"])
+
+    def offs(src, n):
+        counts = np.bincount(src, minlength=n)
+        return np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    with open(out_prefix + ".config", "w") as f:
+        f.write(f"{nv} {mv} {nh} {mh}")
+    offs(g["srcv"], nv).astype("<i8").tofile(out_prefix + ".vidx")
+    np.asarray(g["dstv"], dtype="<i8").tofile(out_prefix + ".vadj")
+    offs(g["srch"], nh).astype("<i8").tofile(out_prefix + ".hidx")
+    np.asarray(g["dsth"], dtype="<i8").tofile(out_prefix + ".hadj")
 
 
 def grid_graph(spark: SparkSession, n: int, dims: int = 2) -> DataFrame:
