@@ -175,6 +175,9 @@ def main() -> None:
         if _want("lp_transcripts"):
             from ligra_spark.algorithms._iter import IterMetrics
 
+            # untimed warmup of the LP plan (mode-agg codegen + first
+            # shuffle): without it trial 1 carries ~2x one-time cost
+            label_propagation(g, max_iters=1).count()
             lp_metrics: list[IterMetrics] = []
 
             def _lp_trial():
