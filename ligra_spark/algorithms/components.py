@@ -331,14 +331,23 @@ def bfs_components(
     max_comps: int = 10_000,
     metrics: IterMetrics | None = None,
     on_overflow: str = "error",
+    roots_per_wave: int = 32,
 ) -> DataFrame:
     """``(id, comp)`` — components via repeated BFS (BFSCC.C:31-73),
-    the low-diameter-graph strategy: repeatedly BFS from the smallest
-    unvisited vertex and label its whole component. Processing roots
-    in ascending id order makes every component's root its min id, so
-    the output equals hash-min label propagation exactly (and shares
-    its oracle); only the schedule differs — O(#components) BFS
-    fixpoints instead of O(diameter) label rounds.
+    the low-diameter-graph strategy: BFS from the smallest unvisited
+    vertices and label their whole components. Rooting at ascending
+    ids makes every component's label its min id, so the output equals
+    hash-min label propagation exactly (and shares its oracle); only
+    the schedule differs.
+
+    ``roots_per_wave`` roots run in ONE multi-root min-label BFS
+    fixpoint per wave instead of one driver-blocking fixpoint per
+    component. This is exact: the wave's roots are the ``k`` smallest
+    remaining ids and earlier waves flood whole components, so any
+    component a root touches has its min id ≤ that root and still
+    remaining — hence also in the root set — and min-label flooding
+    converges to exactly that min id. Waves cut the driver round-trips
+    from O(#components · diameter) to O(#components/k · diameter).
 
     Each BFS fixpoint is a sequence of driver-blocking Spark jobs, so
     this strategy only makes sense when #components is SMALL (a few
@@ -353,7 +362,7 @@ def bfs_components(
     - ``'fallback'``: label the remainder with one
       ``connected_components`` run (exact same fixpoint, O(log) rounds
       regardless of component count)."""
-    from ligra_spark.algorithms.bfs import bfs
+    from ligra_spark.algorithms._iter import materialize_counted
 
     if on_overflow not in ("error", "fallback"):
         raise ValueError("on_overflow must be 'error' or 'fallback'")
@@ -361,21 +370,75 @@ def bfs_components(
     remaining = materialize(g.vertices)
     out = g.spark.createDataFrame([], "id long, comp long")
     timer = Timer()
-    for it in range(max_comps):
-        row = remaining.agg(F.min("id")).first()
-        if row is None or row[0] is None:
-            return out
-        root = int(row[0])
-        reached = bfs(g, root).select(
-            "id", F.lit(root).alias("comp")
-        ).join(remaining, "id", "left_semi")
-        reached = materialize(reached)
-        out = materialize(out.unionAll(reached), out)
-        remaining = materialize(
-            remaining.join(reached.select("id"), "id", "left_anti"), remaining
+    comps_done = 0
+    wave = 0
+    while comps_done < max_comps:
+        k = min(roots_per_wave, max_comps - comps_done)
+        roots, n_roots = materialize_counted(
+            remaining.orderBy("id").limit(k).select(
+                "id", F.col("id").alias("comp")
+            ),
+            name=f"bfscc_roots_{wave}",
         )
+        if n_roots == 0:
+            unpersist(roots)
+            return out
+        # multi-root min-label flood to fixpoint: frontier = vertices
+        # whose label changed this round (newly reached or improved)
+        vis = materialize(roots.withColumn("_chg", F.lit(True)))
+        unpersist(roots)
+        frontier = vis
+        while True:
+            msgs = (
+                frontier.select(F.col("id").alias("src"), "comp")
+                .join(g.edges_by_src, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("comp").alias("_mc"))
+            )
+            obs = Observation(f"bfscc_{wave}_chg")
+            merged = (
+                vis.drop("_chg")
+                .join(msgs, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("comp", F.lit(1 << 62)),
+                        F.coalesce("_mc", F.lit(1 << 62)),
+                    ).alias("comp"),
+                    (
+                        F.col("_mc").isNotNull()
+                        & (
+                            F.col("comp").isNull()
+                            | (F.col("_mc") < F.col("comp"))
+                        )
+                    ).alias("_chg"),
+                )
+                .observe(obs, F.sum(F.col("_chg").cast("long")).alias("n"))
+            )
+            vis = materialize(merged, vis)
+            if int(obs.get["n"] or 0) == 0:
+                break
+            frontier = vis.where("_chg")
+        reached = vis.select("id", "comp")
+        # cumulative components labeled = rows whose label is their own
+        # id (each wave's winning labels are exactly such roots); rides
+        # the union's materialization action
+        obs_c = Observation(f"bfscc_done_{wave}")
+        out = materialize(
+            out.unionAll(reached).observe(
+                obs_c,
+                F.sum((F.col("id") == F.col("comp")).cast("long")).alias("c"),
+            ),
+            out,
+        )
+        comps_done = int(obs_c.get["c"] or 0)
+        remaining = materialize(
+            remaining.join(vis.select("id"), "id", "left_anti"), remaining
+        )
+        unpersist(vis)
         if metrics is not None:
-            metrics.record(it, root=root, wall_s=timer.lap())
+            metrics.record(wave, roots=n_roots, wall_s=timer.lap())
+        wave += 1
     n_left = remaining.count()
     if n_left == 0:
         return out

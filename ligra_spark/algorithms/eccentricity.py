@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize
+from ligra_spark.algorithms._iter import IterMetrics, Timer, materialize, unpersist
 from ligra_spark.graph import Graph
 
 
@@ -175,7 +175,7 @@ def simple_approx_ecc(
 def tk_ecc(
     graph: Graph,
     symmetrize: bool = True,
-    batch: int = 4,
+    batch: int = 8,
     max_iters: int = 10_000,
     metrics: IterMetrics | None = None,
 ) -> DataFrame:
@@ -196,17 +196,19 @@ def tk_ecc(
 
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
     comps = connected_components(g, symmetrize=False)
-    # undetermined-count rides each state materialization (the initial
-    # one here, then the per-iteration one at the loop bottom)
+    # determined vertices stay in state with `ecc` set (instead of a
+    # separate `done` accumulator) so the whole iteration commits in
+    # ONE materialization action, with the undetermined count riding
+    # it as an Observation — 2 driver jobs per iteration + BFS rounds
     obs0 = Observation("tk_left_init")
     state = materialize(
         comps.select(
             "id", "comp", F.lit(0).alias("low"),
             F.lit(None).cast("int").alias("up"),
+            F.lit(None).cast("int").alias("ecc"),
         ).observe(obs0, F.count(F.lit(1)).alias("n"))
     )
     n_left = int(obs0.get["n"] or 0)
-    done = g.spark.createDataFrame([], "id long, radius int")
 
     timer = Timer()
     for it in range(max_iters):
@@ -221,14 +223,17 @@ def tk_ecc(
         )
         w = Window.partitionBy("comp").orderBy(key, F.col("id").asc())
         picks = materialize(
-            state.withColumn("_rn", F.row_number().over(w))
+            state.where(F.col("ecc").isNull())
+            .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= batch)
             .select(F.col("id").alias("root"), "comp")
         )
-        # multi-root BFS keeping per-root distances (one root per
-        # component, so the (root, id) state is comp-partitioned)
-        vis = materialize(
-            picks.select("root", F.col("root").alias("id"), F.lit(0).alias("dist"))
+        # multi-root BFS keeping per-root distances (at most `batch`
+        # roots per component, so the (root, id) state is
+        # comp-partitioned); round 0's visited set stays lazy — it
+        # derives from the already-materialized picks
+        vis = picks.select(
+            "root", F.col("root").alias("id"), F.lit(0).alias("dist")
         )
         frontier = vis
         r = 0
@@ -247,7 +252,7 @@ def tk_ecc(
                     obs_f,
                     F.sum((F.col("dist") == r + 1).cast("long")).alias("f"),
                 ),
-                vis,
+                vis if r > 0 else None,
             )
             n_f = int(obs_f.get["f"] or 0)
             frontier = vis_next.where(F.col("dist") == r + 1)
@@ -256,14 +261,6 @@ def tk_ecc(
             if n_f == 0:
                 break
         eccw = vis.groupBy("root").agg(F.max("dist").alias("eccw"))
-        done = materialize(
-            done.unionAll(
-                picks.join(eccw, "root").select(
-                    F.col("root").alias("id"), F.col("eccw").cast("int").alias("radius")
-                )
-            ),
-            done,
-        )
         # aggregate bound deltas over ALL roots that reached a vertex
         delta = (
             vis.join(eccw, "root")
@@ -275,35 +272,35 @@ def tk_ecc(
                 F.min(F.col("eccw") + F.col("dist")).alias("upd"),
             )
         )
-        upd = state.join(delta, "id", "left").select(
-            "id",
-            "comp",
-            F.greatest("low", "lowd").alias("low"),
-            F.least("up", "upd").alias("up"),
-        )
-        # roots are already in done with their exact value — their
-        # bounds also meet (d=0 tightens both to eccw), so exclude
-        # them here or they would be inserted twice
-        determined = upd.where(F.col("low") == F.col("up")).join(
-            picks.select(F.col("root").alias("id")), "id", "left_anti"
-        )
-        done = materialize(
-            done.unionAll(
-                determined.select("id", F.col("low").cast("int").alias("radius"))
-            ),
-            done,
-        )
+        low2 = F.greatest("low", "lowd")
+        up2 = F.least("up", "upd")
         obs_l = Observation(f"tk_left_{it}")
-        state = materialize(
-            upd.join(determined.select("id"), "id", "left_anti")
-            .join(picks.select(F.col("root").alias("id")), "id", "left_anti")
-            .observe(obs_l, F.count(F.lit(1)).alias("n")),
-            state,
+        upd = (
+            state.join(delta, "id", "left")
+            .join(eccw.select(F.col("root").alias("id"), "eccw"), "id", "left")
+            .select(
+                "id",
+                "comp",
+                low2.alias("low"),
+                up2.alias("up"),
+                # exact value: already fixed > this iteration's root
+                # (its own BFS eccentricity) > bounds that just met
+                F.when(F.col("ecc").isNotNull(), F.col("ecc"))
+                .when(F.col("eccw").isNotNull(), F.col("eccw").cast("int"))
+                .when(low2 == up2, up2.cast("int"))
+                .alias("ecc"),
+            )
+            .observe(obs_l, F.sum(F.col("ecc").isNull().cast("long")).alias("n"))
         )
+        state = materialize(upd, state)
+        unpersist(picks)
+        unpersist(vis)
         n_left = int(obs_l.get["n"] or 0)
         if metrics is not None:
             metrics.record(it, remaining=n_left, wall_s=timer.lap())
-    return done
+    return state.where(F.col("ecc").isNotNull()).select(
+        "id", F.col("ecc").alias("radius")
+    )
 
 
 def _multi_root_bfs(g: Graph, roots: DataFrame) -> DataFrame:

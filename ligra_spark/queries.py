@@ -1099,51 +1099,18 @@ def q_setcover_mod(spark, sf_dir):
     claim, win/cover, rebucket by pre-claim packed degree."""
     from ligra_spark.algorithms import set_cover
 
-    return set_cover(_mod_graph(spark, sf_dir))
+    # mod_graph_edges is already .distinct() — skip the dedupe shuffle
+    return set_cover(_mod_graph(spark, sf_dir), assume_distinct=True)
 
 
-# The SetCover replay oracle is one monolithic expression tree: DuckDB
-# 1.0 lambdas cannot reference LATERAL-correlated tables, so each
-# per-round quantity (current bucket, active sets, packed degrees,
-# claims, winners) is composed inline below and substituted into the
-# recursive member. Semantics mirror set_cover() line for line
+# The SetCover replay oracle computes each per-round quantity (current
+# bucket, uncovered elements, packed degrees, claims, winners) exactly
+# ONCE via a chain of LATERAL subqueries in the recursive member —
+# the earlier monolithic inlined-expression form re-evaluated the
+# whole chain at every mention (no CSE across lambda bodies), costing
+# ~10s/round; the LATERAL chain runs the identical semantics in
+# milliseconds. Semantics mirror set_cover() line for line
 # (SetCover.C:40-89): eps = 0.01, x = 1/ln(1.01).
-_SC_CUR = "list_max(list_transform(g.sets, cb -> cb.bkt))"
-_SC_UNCV = "list_filter(elml.es, ue -> NOT list_contains(g.covered, ue))"
-_SC_ACT = f"list_filter(g.sets, af -> af.bkt = {_SC_CUR})"
-_SC_DEGS = (
-    f"list_transform({_SC_ACT}, dg -> {{'id': dg.id, "
-    f"'d': len(list_intersect(map_extract(nbm.m, dg.id)[1], {_SC_UNCV}))}})"
-)
-_SC_THR = f"CAST(ceil(pow(1.01, {_SC_CUR})) AS BIGINT)"
-_SC_LOW = f"GREATEST(CAST(ceil(pow(1.01, {_SC_CUR} - 1)) AS BIGINT), 1)"
-_SC_STILL = (
-    f"list_transform(list_filter({_SC_DEGS}, sf -> sf.d >= {_SC_THR}), "
-    f"sg -> sg.id)"
-)
-_SC_CLAIMS = (
-    f"list_filter(list_transform({_SC_UNCV}, cu -> {{'e': cu, "
-    f"'c': list_min(list_intersect(map_extract(rbm.m, cu)[1], {_SC_STILL}))}}), "
-    f"cp -> cp.c IS NOT NULL)"
-)
-_SC_WON = (
-    f"list_filter({_SC_STILL}, wv -> "
-    f"len(list_filter({_SC_CLAIMS}, wp -> wp.c = wv)) >= {_SC_LOW})"
-)
-_SC_NEWCOV = (
-    f"list_transform(list_filter({_SC_CLAIMS}, na -> "
-    f"list_contains({_SC_WON}, na.c)), nb2 -> nb2.e)"
-)
-_SC_REB = (
-    f"list_transform(list_filter({_SC_DEGS}, ra -> "
-    f"NOT list_contains({_SC_WON}, ra.id) AND ra.d > 0), "
-    f"rb2 -> {{'id': rb2.id, "
-    f"'bkt': CAST(floor(x.x * ln(CAST(rb2.d AS DOUBLE))) AS BIGINT)}})"
-)
-_SC_KEEP = (
-    f"list_filter(g.sets, kp -> kp.bkt IS NOT NULL AND kp.bkt <> {_SC_CUR})"
-)
-
 SETCOVER_MOD_SQL = f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
 nb AS (SELECT src AS id, list(dst) AS ns, COUNT(*) AS d FROM base GROUP BY src),
@@ -1159,12 +1126,51 @@ init AS (
 g(i, sets, covered, cover) AS (
   SELECT 0, init.sets, CAST([] AS BIGINT[]), CAST([] AS BIGINT[]) FROM init
   UNION ALL
+  -- each LATERAL level re-projects its whole context under ONE alias:
+  -- DuckDB 1.0 binds a lambda's outer references only when the
+  -- referenced table also appears in the lambda's list argument, so
+  -- every lambda here reads exclusively from the previous level
   SELECT g.i + 1,
-         {_SC_KEEP} || {_SC_REB},
-         g.covered || {_SC_NEWCOV},
-         g.cover || {_SC_WON}
-  FROM g, nbm, rbm, elml, x
-  WHERE {_SC_CUR} IS NOT NULL
+         l7.keep || l7.reb,
+         g.covered || l7.newcov,
+         g.cover || l7.won
+  FROM g, nbm, rbm, elml,
+  LATERAL (SELECT g.sets AS sets, g.covered AS covered, elml.es AS es,
+                  nbm.m AS nm, rbm.m AS rm,
+                  list_max(list_transform(g.sets, cb -> cb.bkt)) AS cur) l1,
+  LATERAL (SELECT l1.sets AS sets, l1.nm AS nm, l1.rm AS rm, l1.cur AS cur,
+                  list_filter(l1.es, ue -> NOT list_contains(l1.covered, ue)) AS uncv) l2,
+  LATERAL (SELECT l2.rm AS rm, l2.cur AS cur, l2.uncv AS uncv,
+                  list_filter(l2.sets, kp -> kp.bkt IS NOT NULL AND kp.bkt <> l2.cur) AS keep,
+                  list_transform(
+                    list_filter(l2.sets, af -> af.bkt = l2.cur),
+                    dg -> struct_pack(id := dg.id,
+                            d := len(list_intersect(map_extract(l2.nm, dg.id)[1], l2.uncv)))) AS degs) l3,
+  LATERAL (SELECT l3.rm AS rm, l3.cur AS cur, l3.uncv AS uncv, l3.keep AS keep, l3.degs AS degs,
+                  list_transform(
+                    list_filter(l3.degs, sf -> sf.d >= CAST(ceil(pow(1.01, l3.cur)) AS BIGINT)),
+                    sg -> sg.id) AS still) l4,
+  -- cs[i] = min-id claimant of uncv[i] (NULL = unclaimed); kept as a
+  -- parallel list because DuckDB 1.0 mis-binds struct_pack over a
+  -- lambda with multiple correlated captures — zip by index instead
+  LATERAL (SELECT l4.cur AS cur, l4.keep AS keep, l4.degs AS degs,
+                  l4.still AS still, l4.uncv AS uncv,
+                  list_transform(l4.uncv, cu ->
+                    list_min(list_intersect(map_extract(l4.rm, cu)[1], l4.still))) AS cs) l5,
+  LATERAL (SELECT l5.keep AS keep, l5.degs AS degs, l5.uncv AS uncv, l5.cs AS cs,
+                  list_filter(l5.still, wv ->
+                    len(list_filter(l5.cs, c2 -> c2 = wv))
+                      >= GREATEST(CAST(ceil(pow(1.01, l5.cur - 1)) AS BIGINT), 1)) AS won) l6,
+  LATERAL (SELECT l6.keep AS keep, l6.won AS won,
+                  list_transform(
+                    list_filter(list_zip(l6.uncv, l6.cs),
+                                z -> z[2] IS NOT NULL AND list_contains(l6.won, z[2])),
+                    z2 -> z2[1]) AS newcov,
+                  list_transform(
+                    list_filter(l6.degs, ra -> NOT list_contains(l6.won, ra.id) AND ra.d > 0),
+                    rb2 -> struct_pack(id := rb2.id,
+                             bkt := CAST(floor((1.0 / ln(1.01)) * ln(CAST(rb2.d AS DOUBLE))) AS BIGINT))) AS reb) l7
+  WHERE l1.cur IS NOT NULL
 ),
 final AS (SELECT cover FROM g ORDER BY i DESC LIMIT 1)
 SELECT DISTINCT unnest(cover) AS set_id FROM final
