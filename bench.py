@@ -77,8 +77,12 @@ def _sf_from_dir(d: str) -> float:
 
 def main() -> None:
     sf = _sf_from_dir(SF_DIR)
+    # local[N,4]: allow 4 task attempts. Plain local[N] has
+    # maxFailures=1, so ONE transient Python-worker death cancels the
+    # job and (r04, observed) loses the whole bench run's timings;
+    # a real cluster runs with task retries for exactly this reason.
     spark = get_spark(
-        "ligra_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        "ligra_bench", master=f"local[{CPUS},4]", shuffle_partitions=CPUS
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -105,19 +109,34 @@ def main() -> None:
 
     spreads: dict[str, list[float]] = {}
 
+    errors: dict[str, str] = {}
+
     def timed(name, fn, trials: int = 1):
         """Time ``fn``; with ``trials > 1`` (cheap queries only) rerun
         and record min + the per-trial spread, so a regression can be
-        told apart from a host-noise burst (VERDICT r02 item 8)."""
+        told apart from a host-noise burst (VERDICT r02 item 8).
+
+        A query that raises is recorded in ``errors`` and skipped —
+        one failure must not lose every other query's timing (r04:
+        a worker crash in the LAST query dropped the whole run)."""
         walls = []
         out = None
         for _ in range(trials):
             t0 = time.perf_counter()
-            out = fn()
+            try:
+                out = fn()
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"[bench] {name} FAILED: {errors[name]}",
+                      file=sys.stderr, flush=True)
+                return None
             walls.append(round(time.perf_counter() - t0, 3))
         timings[name] = min(walls)
         if trials > 1:
             spreads[name] = walls
+        # incremental progress on stderr: partial results survive a
+        # later hard crash (the final JSON still goes to stdout alone)
+        print(f"[bench] {name}: {walls}", file=sys.stderr, flush=True)
         return out
 
     # ---- transcript-derived link graph (the north-star input) -------------
@@ -175,9 +194,12 @@ def main() -> None:
         if _want("lp_transcripts"):
             from ligra_spark.algorithms._iter import IterMetrics
 
-            # untimed warmup of the LP plan (mode-agg codegen + first
-            # shuffle): without it trial 1 carries ~2x one-time cost
-            label_propagation(g, max_iters=1).count()
+            # one FULL untimed round, the reference's own protocol
+            # (ligra.h:480): a 1-iter warmup left trials 1-2 carrying
+            # ~2x one-time JIT/codegen cost (measured [16.2, 15.4, 7.4]
+            # — the mode-agg loop only gets C2-compiled after ~10
+            # executions; 5 untimed iters absorb that off the clock)
+            label_propagation(g, max_iters=5).count()
             lp_metrics: list[IterMetrics] = []
 
             def _lp_trial():
@@ -261,11 +283,14 @@ def main() -> None:
         )
         emb.count()
         qs = emb.where(f"vec_id < {ann_q}")
-        # untimed warmup of this query's exact BLAS/Arrow/window path:
-        # the generic import-warmup above does not touch dgemm, Arrow
-        # list-flatten, or the row_number window codegen — r03 measured
-        # a 3.6x cold first trial (29.7s vs 8.3s steady) without this
-        cosine_topk_kernel(emb.where("vec_id < 256"), emb.where("vec_id < 8"), k=3).count()
+        # untimed warmup of this query's exact BLAS/Arrow/window path
+        # at FULL buffer shape on EVERY worker: r03's tiny warmup
+        # (256 corpus × 8 queries) left a 3.6x cold first trial because
+        # the per-worker (QCHUNK, BLOCK) sims buffers + glibc arenas
+        # first-fault only at real shape. `vec_id % 6` keeps ~1 block
+        # per partition (spark.range splits contiguously, so a `< n`
+        # prefix filter would warm only the first few partitions).
+        cosine_topk_kernel(emb.where("vec_id % 6 = 0"), qs, k=5).count()
         timed("ann_kernel", lambda: cosine_topk_kernel(emb, qs, k=5).count(), trials=3)
         extras["ann_kernel_vectors"] = ann_n
         emb.unpersist()
@@ -282,6 +307,7 @@ def main() -> None:
                 "sf": sf,
                 "cpus": CPUS,
                 "extras": extras,
+                **({"errors": errors} if errors else {}),
             }
         )
     )

