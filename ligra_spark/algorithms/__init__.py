@@ -34,7 +34,12 @@ from ligra_spark.algorithms.eccentricity import (
 )
 from ligra_spark.algorithms.cf import cf
 from ligra_spark.algorithms.setcover import set_cover
-from ligra_spark.algorithms.local import heat_kernel, nibble, ppr_acl
+from ligra_spark.algorithms.local import (
+    heat_kernel,
+    heat_kernel_rand,
+    nibble,
+    ppr_acl,
+)
 from ligra_spark.algorithms.radii import kbfs_exact, kbfs_sampled_ecc
 from ligra_spark.algorithms.hyper import (
     hyper_bc,

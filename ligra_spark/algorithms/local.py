@@ -220,3 +220,133 @@ def heat_kernel(
         if metrics is not None:
             metrics.record(j, frontier=n_f, wall_s=timer.lap())
     return x
+
+
+def heat_kernel_rand_walk_params(
+    t: float = 3.0, K: int = 10, n_walks: int = 256, seed: int = 1
+):
+    """The pinned per-walk stream of rand-HK-PR
+    (HeatKernel-Randomized-Parallel.C:63-86) as plain Python values:
+    ``(walk_id, step_hash, n_steps)`` triples.
+
+    The reference seeds with ``srand(time(NULL))`` — an inherently
+    randomized estimator; its deterministic Spark realization replaces
+    the one ``rand()`` call with a fixed ``seed`` and keeps the rest of
+    the stream bit-exact (``hashInt`` utils.h:366-374):
+
+    - walk i draws ONE uniform ``hashInt(seed+2i)/UINT_MAX`` and walks
+      while the cumulative Poisson(t) mass stays below it, i.e. takes
+      ``L_i = min{j : rand_i < cum[j]}`` steps (the reference's
+      mass-accumulation loop, HeatKernel-Randomized-Parallel.C:76-84);
+      a walker whose draw exceeds ``cum[K-1]`` is CLAMPED to K steps
+      where the reference reads ``probs[K]`` out of bounds (line 81's
+      ``j <= K`` bound on a K-element array) — the clamp is the
+      well-defined member of that undefined family.
+    - every step of walk i indexes the current vertex's out-neighbors
+      with the SAME ``hashInt(seed+2i+1)`` (the reference passes one
+      seed per walk into ``walk()``, line 43-45, so the hash is
+      constant along the walk; only ``% degree`` varies).
+
+    Driver-sized by design: ``n_walks`` ints, like the IVF codebook.
+    Exposed as a function so the DuckDB oracle can embed the identical
+    triples as literals (the radii XXH64-register precedent)."""
+    import math
+
+    import numpy as np
+
+    from ligra_spark.sources.converters import hash_int32
+
+    i = np.arange(n_walks, dtype=np.uint64)
+    rand = hash_int32(np.uint64(seed) + 2 * i).astype(np.float64) / 4294967295.0
+    h = hash_int32(np.uint64(seed) + 2 * i + 1).astype(np.int64)
+    probs = [math.exp(-t)]
+    for k in range(1, K):
+        probs.append(probs[-1] * t / k)
+    cum = np.cumsum(probs)
+    steps = np.searchsorted(cum, rand, side="right")  # min{j: rand < cum[j]}, K if none
+    return [(int(w), int(hh), int(ll)) for w, hh, ll in zip(i, h, steps)]
+
+
+def heat_kernel_rand(
+    graph: Graph,
+    source: int,
+    t: float = 3.0,
+    K: int = 10,
+    n_walks: int = 256,
+    seed: int = 1,
+    metrics: IterMetrics | None = None,
+) -> DataFrame:
+    """rand-HK-PR: the Monte-Carlo heat-kernel PageRank estimator
+    (localAlg/HeatKernel-Randomized-Parallel.C:52-107) with the seed
+    pinned (see ``heat_kernel_rand_walk_params``). ``n_walks``
+    independent walks start at ``source``; the estimate is the endpoint
+    frequency ``est(v) = #walks ending at v / n_walks`` (the
+    reference's sort + prefix-count, lines 88-101).
+
+    Scale shape: walks advance in LOCKSTEP, one round per step. The
+    walker table is ``n_walks`` rows — always broadcast — while the
+    ranked adjacency stays partitioned by ``src`` (the window reuses
+    ``edges_by_src``'s existing partitioning, no shuffle), so a local
+    query on a 10^12-edge graph moves no edge data. Neighbor order is
+    pinned to ascending dst id (the reference indexes the input file's
+    adjacency order; ascending-id is a legal such order, stated in the
+    oracle too). A walker at a sink vertex stays put (the reference
+    would ``% 0``, line 43 — UB); ``source`` with no out-edges raises,
+    as the reference returns early (line 56-59)."""
+    from pyspark.sql import Window
+
+    spark = graph.spark
+    walkers = heat_kernel_rand_walk_params(t=t, K=K, n_walks=n_walks, seed=seed)
+    deg = graph.degrees.select(F.col("id").alias("x"), "out_deg")
+    adj = graph.edges_by_src.select(
+        "src",
+        "dst",
+        (
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+        ).alias("rnk"),
+    )
+    if (
+        graph.edges_by_src.where(F.col("src") == int(source)).limit(1).count()
+        == 0
+    ):
+        raise ValueError(f"starting vertex {source} has degree 0")
+
+    state = materialize(
+        spark.createDataFrame(
+            walkers, "walk long, h long, steps long"
+        ).withColumn("x", F.lit(int(source)).cast("long"))
+    )
+    timer = Timer()
+    max_steps = max((s for _, _, s in walkers), default=0)
+    for r in range(max_steps):
+        movers = state.where(F.col("steps") > r)
+        stay = state.where(F.col("steps") <= r)
+        moved = (
+            movers.join(deg, "x", "left")
+            .join(
+                adj,
+                (F.col("x") == F.col("src"))
+                & (F.col("h") % F.col("out_deg") == F.col("rnk")),
+                "left",
+            )
+            .select(
+                "walk",
+                "h",
+                "steps",
+                F.coalesce(F.col("dst"), F.col("x")).alias("x"),
+            )
+        )
+        # unionByName CONCATENATES partitions (stay's + moved's join
+        # output's) — left alone the state table doubles its partition
+        # count every round (observed 256 → 16384 empty tasks by round
+        # 10). The state is n_walks rows: shuffle it back to one
+        # partition (repartition, not coalesce — coalesce would fold
+        # the adjacency join itself into a single task)
+        state = materialize(
+            stay.unionByName(moved).repartition(1), state
+        )
+        if metrics is not None:
+            metrics.record(r, frontier=None, wall_s=timer.lap())
+    return state.groupBy("x").agg(
+        (F.count("*") / float(n_walks)).alias("est")
+    ).select(F.col("x").alias("id"), "est")

@@ -1403,6 +1403,62 @@ f{j + 1} AS MATERIALIZED (
 HEAT_KERNEL_MOD_SQL = _heat_kernel_unrolled_sql(MOD_GRAPH_SQL)
 
 
+def q_heat_kernel_rand_mod(spark, sf_dir):
+    """rand-HK-PR Monte-Carlo heat-kernel estimate
+    (localAlg/HeatKernel-Randomized-Parallel.C) from the min vertex of
+    the symmetrized mod-graph, 256 pinned walks (seed 1; the reference
+    seeds with time(NULL) — see heat_kernel_rand_walk_params for the
+    pinned-stream contract). n_walks = 2^8 makes every estimate an
+    exact binary fraction, so the value hash needs no rounding."""
+    from ligra_spark.algorithms import heat_kernel_rand
+
+    g = _mod_graph(spark, sf_dir).symmetrized()
+    root = g.vertices.agg(F.min("id")).first()[0]
+    return heat_kernel_rand(g, root, t=3.0, K=10, n_walks=256, seed=1)
+
+
+def _heat_kernel_rand_sql(
+    base_sql: str, t: float = 3.0, K: int = 10, n_walks: int = 256, seed: int = 1
+) -> str:
+    """Recursive replay of the pinned walks: the per-walk (step-hash,
+    n-steps) stream is precomputed by the SAME Python code the engine
+    uses (the radii XXH64-register precedent) and embedded as literals;
+    the CTE then advances every walk one neighbor-table join per step —
+    neighbor order pinned to ascending dst, endpoint = deepest row per
+    walk (covers the walker-at-a-sink stay-put rule)."""
+    from ligra_spark.algorithms.local import heat_kernel_rand_walk_params
+
+    triples = heat_kernel_rand_walk_params(t=t, K=K, n_walks=n_walks, seed=seed)
+    values = ", ".join(f"({w}, {h}, {s})" for w, h, s in triples)
+    return f"""
+WITH RECURSIVE base AS ({base_sql}),
+e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+adj AS (SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+        FROM e),
+walkers(walk, h, steps) AS (VALUES {values}),
+root AS (SELECT MIN(src) AS id FROM e),
+wk(walk, j, x) AS (
+  SELECT walk, 0, (SELECT id FROM root) FROM walkers
+  UNION ALL
+  SELECT wk.walk, wk.j + 1, adj.dst
+  FROM wk
+  JOIN walkers w ON w.walk = wk.walk
+  JOIN deg ON deg.src = wk.x
+  JOIN adj ON adj.src = wk.x AND adj.rnk = w.h % deg.d
+  WHERE wk.j < w.steps
+),
+ends AS (SELECT walk, MAX(j) AS j FROM wk GROUP BY walk)
+SELECT wk.x AS id, CAST(COUNT(*) AS DOUBLE) / {n_walks} AS est
+FROM wk JOIN ends ON ends.walk = wk.walk AND ends.j = wk.j
+GROUP BY wk.x
+"""
+
+
+HEAT_KERNEL_RAND_MOD_SQL = _heat_kernel_rand_sql(MOD_GRAPH_SQL)
+
+
 def q_pagerank_delta_iter1_events(spark, sf_dir):
     """One PageRankDelta round == one plain power-iteration round (the
     PageRankDelta.C:47-85 first-round special case), so it shares the
@@ -2535,6 +2591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs_docs": q_simhash_pairs_docs,
     # --- new in r04 — never driver-covered ---
     "kcore_mid": q_kcore_mid,
+    "heat_kernel_rand_mod": q_heat_kernel_rand_mod,
     # --- freshly green in CORRECTNESS_r03 ---
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "kbfs_1phase_ecc_mod": q_kbfs_1phase_ecc_mod,
@@ -2694,6 +2751,7 @@ ORACLE_SQL: dict[str, str] = {
     "ppr_acl_mod": PPR_ACL_MOD_SQL,
     "nibble_mod": NIBBLE_MOD_SQL,
     "heat_kernel_mod": HEAT_KERNEL_MOD_SQL,
+    "heat_kernel_rand_mod": HEAT_KERNEL_RAND_MOD_SQL,
     "simple_ecc_mod": SIMPLE_ECC_MOD_SQL,
     "fm_ecc_mod": FM_ECC_MOD_SQL,
     "loglog_ecc_mod": LOGLOG_ECC_MOD_SQL,

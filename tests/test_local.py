@@ -142,3 +142,53 @@ def test_heat_kernel_matches_oracle(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+def _hk_rand_oracle(adj, source, walkers):
+    """Pure-Python replay of the pinned rand-HK-PR walks: walker
+    (i, h, L) takes L steps, each to sorted-neighbor index h % deg,
+    staying put at a sink (see heat_kernel_rand's docstring)."""
+    counts = collections.Counter()
+    for _, h, steps in walkers:
+        x = source
+        for _ in range(steps):
+            ns = adj.get(x)
+            if ns:
+                x = ns[h % len(ns)]
+        counts[x] += 1
+    n = len(walkers)
+    return {v: c / n for v, c in counts.items()}
+
+
+def test_heat_kernel_rand_matches_oracle(spark):
+    from ligra_spark.algorithms import heat_kernel_rand
+    from ligra_spark.algorithms.local import heat_kernel_rand_walk_params
+
+    df = rmat_graph_df(spark, 6, 300, seed=7)
+    edges = [(r.src, r.dst) for r in df.collect() if r.src != r.dst]
+    adj = _sym(edges)
+    g = Graph(df, num_partitions=4).symmetrized()
+    src = min(adj)
+    walkers = heat_kernel_rand_walk_params(t=3.0, K=10, n_walks=128, seed=5)
+    # the pinned stream must produce a nontrivial length spread
+    lens = {s for _, _, s in walkers}
+    assert len(lens) > 3 and max(lens) <= 10
+    want = _hk_rand_oracle(adj, src, walkers)
+    got = {
+        r["id"]: r["est"]
+        for r in heat_kernel_rand(g, src, n_walks=128, seed=5).collect()
+    }
+    # n_walks = 2^7 → estimates are exact binary fractions: equality
+    assert got == want
+
+
+def test_heat_kernel_rand_degree0_source(spark):
+    from ligra_spark.algorithms import heat_kernel_rand
+    import pytest
+
+    g = Graph(
+        spark.createDataFrame([(1, 2)], "src long, dst long"),
+        num_partitions=2,
+    )
+    with pytest.raises(ValueError):
+        heat_kernel_rand(g, 99)
