@@ -30,7 +30,13 @@ import numpy as np
 
 N_IDS = 1_000_000
 N_OPS = 2_000_000
-REPS = 5
+# per-task work must dwarf scheduler noise on a shared VM: at REPS=5 a
+# task is ~0.1s and a single steal burst inverts the 16-vs-32 ordering
+# (observed in one r04 capture); REPS=20 (~0.4s/task) + best-of-PASSES
+# per level keeps the probe under a minute while making the ceiling
+# curve reproducibly monotonic
+REPS = 20
+PASSES = 3
 
 
 def _burn(_):
@@ -43,13 +49,25 @@ def _burn(_):
     return time.perf_counter() - t0
 
 
+def _level(n: int) -> tuple[float, list[float]]:
+    with mp.Pool(n) as p:
+        t0 = time.perf_counter()
+        r = p.map(_burn, range(n))
+        wall = time.perf_counter() - t0
+    return wall, r
+
+
 def main() -> None:
     out = {"workload": "np.minimum.at random gather/scatter, independent procs"}
-    for n in (1, 2, 4, 8, 16, 32):
-        with mp.Pool(n) as p:
-            t0 = time.perf_counter()
-            r = p.map(_burn, range(n))
-            wall = time.perf_counter() - t0
+    # PASSES full sweeps, keep the best (lowest-wall) observation per
+    # level: a noise burst then costs one pass, not the whole profile
+    best: dict[int, tuple[float, list[float]]] = {}
+    for _ in range(PASSES):
+        for n in (1, 2, 4, 8, 16, 32):
+            wall, r = _level(n)
+            if n not in best or wall < best[n][0]:
+                best[n] = (wall, r)
+    for n, (wall, r) in best.items():
         out[f"procs_{n}"] = {
             "wall_s": round(wall, 3),
             "task_min_s": round(min(r), 3),
