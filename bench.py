@@ -189,6 +189,16 @@ def main() -> None:
             # same min-id fixpoint as connected_components (oracle- and
             # parity-verified), one kernel pass + one edge-sized
             # sort-shuffle instead of ~5 shuffles × O(log) rounds
+            #
+            # one FULL untimed run first — the reference protocol
+            # (ligra.h:480) that PR and LP above already follow. cc was
+            # the only iterative query timed on first execution of its
+            # own path (mapInArrow kernel + window sort), and measured
+            # first-run costs are large and one-time: solo cold
+            # local[16] round-0 wall 6.5s vs ~3s warm; it also absorbs
+            # whatever transient the preceding PR run leaves (JIT
+            # recompilation, old-gen debris) at the point cc runs
+            cc_contract_local(g).count()
             cc_m = IterMetrics()
             timed(
                 "cc_transcripts",
