@@ -196,7 +196,7 @@ def q_bfs_types(spark, sf_dir):
 
 BFS_TYPES_SQL = f"""
 WITH RECURSIVE base AS ({EVENT_TYPE_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 root AS (SELECT MIN(src) AS id FROM e),
 r(id, dist) AS (
   SELECT id, 0 FROM root
@@ -415,7 +415,7 @@ def _mid_graph(spark, sf_dir, weighted=False):
 
 _MID_SYM_SQL = f"""
 WITH RECURSIVE base AS ({MID_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 root AS (SELECT MIN(id) AS id FROM v)
 """
@@ -536,7 +536,7 @@ def _kcore_replay_sql(base_sql: str) -> str:
     instead of O(n) — 0.4s vs 66s on the 3k-vertex mid fixture."""
     return f"""
 WITH RECURSIVE base AS ({base_sql}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 nb AS (SELECT src AS id, list(dst) AS ns FROM e GROUP BY src),
 nbm AS MATERIALIZED (SELECT map_from_entries(list(struct_pack(k := id, v := ns))) AS m FROM nb),
@@ -596,7 +596,7 @@ def q_bfscc_mod(spark, sf_dir):
 
 CC_MOD_SQL = f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 r(x, y) AS (
   SELECT id, id FROM v
@@ -616,7 +616,7 @@ def q_mis_mod(spark, sf_dir):
 
 MIS_MOD_SQL = f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 vl AS (SELECT list(id ORDER BY id) AS ids, COUNT(*) AS n FROM v),
 nb AS (SELECT src AS id, list(dst) AS ns FROM e GROUP BY src),
@@ -644,7 +644,7 @@ def q_radii_mod(spark, sf_dir):
 
 RADII_MOD_SQL = f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 r(s, id, dist) AS (
   SELECT id, id, 0 FROM v
@@ -705,7 +705,7 @@ def _kbfs_sampled_sql(phases: int) -> str:
     )
     return f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 p(s, id, dist) AS (
   SELECT id, id, 0 FROM v
@@ -753,7 +753,7 @@ def q_rv_ecc_mod(spark, sf_dir):
 
 RV_ECC_MOD_SQL = f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 p(s, id, dist) AS (
   SELECT id, id, 0 FROM v
@@ -847,7 +847,7 @@ def q_clrstv_ecc_mod(spark, sf_dir):
 
 CLRSTV_ECC_MOD_SQL = f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 p(s, id, dist) AS (
   SELECT id, id, 0 FROM v
@@ -927,7 +927,7 @@ tri AS (
   FROM u ab JOIN u bc ON ab.dst = bc.src
   JOIN u ac ON ac.src = ab.src AND ac.dst = bc.dst),
 corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
-v AS (SELECT DISTINCT src AS id FROM (SELECT src, dst FROM base UNION SELECT dst, src FROM base))
+v AS (SELECT DISTINCT src AS id FROM (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)))
 SELECT v.id AS id, COALESCE(cnt.c, 0) AS triangles
 FROM v LEFT JOIN (SELECT id, COUNT(*) AS c FROM corners GROUP BY id) cnt ON v.id = cnt.id
 """
@@ -1055,7 +1055,7 @@ def _sketch_ecc_unrolled_sql(
     )
     parts = [
         f"""WITH base AS ({base_sql}),
-e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
 regs AS (SELECT * FROM (VALUES {regs}) t(id, slot, reg)),
 s0 AS MATERIALIZED (SELECT v.id, r.slot, CAST(r.reg AS BIGINT) AS reg
@@ -1208,7 +1208,7 @@ def _ppr_unrolled_sql(base_sql: str, rounds: int = 80, eps: str = "1e-6") -> str
     keep = "(CAST(0.3 AS DOUBLE) / CAST(1.15 AS DOUBLE))"
     parts = [
         f"""WITH base AS ({base_sql}),
-e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d
                      FROM e GROUP BY src),
 s0 AS (SELECT MIN(src) AS id, CAST(0 AS DOUBLE) AS p, CAST(1 AS DOUBLE) AS r
@@ -1263,7 +1263,7 @@ def _nibble_unrolled_sql(
     truncate everything instead of keeping the prior state)."""
     parts = [
         f"""WITH base AS ({base_sql}),
-e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d
                      FROM e GROUP BY src),
 s0 AS (SELECT MIN(src) AS id, CAST(1 AS DOUBLE) AS p FROM e)"""
@@ -1301,7 +1301,7 @@ def q_simple_ecc_mod(spark, sf_dir):
 
 SIMPLE_ECC_MOD_SQL = f"""
 WITH RECURSIVE base AS ({MOD_GRAPH_SQL}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 v AS (SELECT DISTINCT src AS id FROM e),
 rc(x, y) AS (
   SELECT id, id FROM v
@@ -1358,7 +1358,7 @@ def _heat_kernel_unrolled_sql(
     constant = _m.exp(t) * eps / (2.0 * N)
     parts = [
         f"""WITH base AS ({base_sql}),
-e AS MATERIALIZED (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 deg AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS d
                      FROM e GROUP BY src),
 x0 AS (SELECT MIN(src) AS id, CAST(0 AS DOUBLE) AS x FROM e),
@@ -1432,7 +1432,7 @@ def _heat_kernel_rand_sql(
     values = ", ".join(f"({w}, {h}, {s})" for w, h, s in triples)
     return f"""
 WITH RECURSIVE base AS ({base_sql}),
-e AS (SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base)),
 deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
 adj AS (SELECT src, dst,
                ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
