@@ -118,10 +118,25 @@ def main() -> None:
 
         A query that raises is recorded in ``errors`` and skipped —
         one failure must not lose every other query's timing (r04:
-        a worker crash in the LAST query dropped the whole run)."""
+        a worker crash in the LAST query dropped the whole run).
+
+        Before every trial: an UNTIMED ``System.gc()`` (~0.6s on the
+        pre-faulted heap). Earlier queries leave garbage + pending
+        ContextCleaner work (dropped shuffle/broadcast refs are only
+        discovered at a GC); without the flush that storm fires inside
+        a random later trial — measured as 17-28s spikes landing in
+        arbitrary cc_events/minhash trials, gone with the flush. The
+        reference protocol times rounds, not the allocator
+        (ligra.h:490-495); a cluster run gets the same effect from
+        per-job executor churn."""
         walls = []
         out = None
         for _ in range(trials):
+            try:
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(0.3)
+            except Exception:  # noqa: BLE001 — hygiene only, never fatal
+                pass
             t0 = time.perf_counter()
             try:
                 out = fn()
