@@ -2675,6 +2675,16 @@ def _release_session_state(spark: SparkSession) -> None:
                 pass
     except Exception:
         pass
+    # Hygiene GC: the unpersists above only *queue* cleanup — dropped
+    # shuffle/broadcast refs are discovered by the ContextCleaner at a
+    # GC, so without one the backlog storms inside a random later
+    # query (measured: bfs_mid 124.9s as gate entry ~35 of 73 vs 26.5s
+    # alone; same mechanism the bench's per-trial System.gc() fixes).
+    # ~0.6s per call, repaid many times over in long shared sessions.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _isolated(fn):
