@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import time
 
 import numpy as np
@@ -34,9 +35,12 @@ N_OPS = 2_000_000
 # task is ~0.1s and a single steal burst inverts the 16-vs-32 ordering
 # (observed in one r04 capture); REPS=20 (~0.4s/task) + best-of-PASSES
 # per level keeps the probe under a minute while making the ceiling
-# curve reproducibly monotonic
-REPS = 20
-PASSES = 3
+# curve reproducibly monotonic. Successive r04 captures still varied
+# ~2x at the 16/32 levels, so the quotable profile is taken with
+# MEMBW_REPS=80 / MEMBW_PASSES=5 (~1.5s tasks, ~5 min total) — long
+# enough that one steal burst cannot dominate any (level, pass) cell.
+REPS = int(os.environ.get("MEMBW_REPS", "20"))
+PASSES = int(os.environ.get("MEMBW_PASSES", "3"))
 
 
 def _burn(_):
@@ -75,6 +79,14 @@ def main() -> None:
             "task_mean_s": round(sum(r) / len(r), 3),
         }
     base = out["procs_1"]["task_mean_s"]
+    # aggregate random-access throughput vs 1 proc — the number the
+    # BENCH ceiling tables quote: n tasks / wall_n, normalized by
+    # 1 task / wall_1 (so a perfectly scaling box reads n)
+    wall1 = out["procs_1"]["wall_s"]
+    out["aggregate_x"] = {
+        str(n): round(n * wall1 / out[f"procs_{n}"]["wall_s"], 2)
+        for n in (1, 2, 4, 8, 16, 32)
+    }
     out["per_task_slowdown_at_32"] = round(
         out["procs_32"]["task_mean_s"] / base, 2
     )
