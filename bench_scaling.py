@@ -393,6 +393,10 @@ def _report(results) -> None:
             "",
         ]
     (REPO / BENCH_OUT).write_text("\n".join(lines))
+    # machine-readable twin of the markdown report: BENCH.md's summary
+    # tables are composed FROM this artifact (tools/compose_bench.py),
+    # never hand-copied — the r03/r04 number-mismatch class is gone
+    (REPO / BENCH_OUT).with_suffix(".json").write_text(json.dumps(report))
     print(json.dumps(report))
 
 
