@@ -76,6 +76,17 @@ def materialize(df: DataFrame, prev: DataFrame | None = None) -> DataFrame:
     action recomputes the whole chain (the round-1 36x bench
     regression). RDD-backed checkpoints are immune: downstream plans
     reference the RDD, not a cached plan fragment."""
+    if prev is not None:
+        # Loop state accumulated via unionAll concatenates partition
+        # lists and localCheckpoint preserves them, so visited/state
+        # tables grow +P partitions per round (measured: bfs_mid stages
+        # of 232→264→296 tasks, +32/round at the r04 gate). Cap with a
+        # NARROW coalesce at 2× shuffle partitions — a no-op when the
+        # plan is already under the cap, zero shuffle when it isn't.
+        cap = 2 * int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        df = df.coalesce(cap)
     ck = df.localCheckpoint(eager=True)
     out = _reset_stats(ck)
     out._ligra_ckpt = ck  # handle for unpersisting the real cached RDD

@@ -62,3 +62,30 @@ def test_kcore_bucketed_path_and_clique(spark):
     got = {r["id"]: r["core"] for r in kcore_bucketed(g).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 10: 2, 11: 2, 12: 2}
     g.unpersist()
+
+
+def test_delta_stepping_bucket_jump_past_observation_window(spark):
+    """The per-round Observation carries exact counts only for a small
+    window of buckets past the current one; a weight that jumps the min
+    bucket far beyond it (w=50, delta=1 → +50 buckets) must hit the
+    fallback count job and still produce exact distances."""
+    edges = [
+        (0, 1, 50.0),   # jump: next occupied bucket is 50
+        (1, 2, 0.5),    # re-entry into the same bucket (50)
+        (2, 3, 100.0),  # second long jump
+        (0, 4, 1.0),    # small step inside the window
+    ]
+    g = Graph(
+        spark.createDataFrame(edges, "src long, dst long, w double"),
+        num_partitions=2,
+    )
+    metrics = IterMetrics()
+    got = {
+        r["id"]: r["dist"]
+        for r in delta_stepping(g, 0, delta=1.0, metrics=metrics).collect()
+    }
+    assert got == {0: 0.0, 1: 50.0, 2: 50.5, 3: 150.5, 4: 1.0}
+    # buckets actually popped, in order: 0, then 1 (vertex 4), then the
+    # jumped 50 (twice: v1 then re-entered v2), then 150
+    assert [r["bucket"] for r in metrics.rounds] == [0, 1, 50, 50, 150]
+    g.unpersist()
