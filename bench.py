@@ -168,9 +168,16 @@ def main() -> None:
             transcripts = spark.read.parquet(pq)
         else:
             transcripts = generate_transcripts(spark, n_conv)
-        g = Graph(derive_edges(transcripts), num_partitions=CPUS)
-        m = g.m  # materializes the cached edge DataFrames (untimed warmup)
-        _ = g.degrees.count()
+        # closure_key: the transcript link graph is conversation-closed,
+        # so PageRank/LP/CC dispatch to the fused partition-local Arrow
+        # kernels (closed.py) — zero per-iteration shuffle, exact results
+        # (parity pinned by tests/test_closed.py)
+        g = Graph(
+            derive_edges(transcripts, closure_key=True),
+            closure_key="ckey",
+            num_partitions=CPUS,
+        )
+        m = g.m  # materializes the closed edge table (untimed warmup)
         extras["transcript_edges"] = m
 
         if _want("pagerank_transcripts"):

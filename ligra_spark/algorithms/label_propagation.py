@@ -38,7 +38,22 @@ def label_propagation(
     metrics: IterMetrics | None = None,
 ) -> DataFrame:
     """Returns ``(id LONG, label LONG)`` after convergence or
-    ``max_iters`` synchronous rounds."""
+    ``max_iters`` synchronous rounds.
+
+    Graphs with a declared closure key dispatch to the fused
+    partition-local kernel (closed.py): one Arrow pass, bit-identical
+    labels (a closed partition at a local fixpoint is fixed forever,
+    so per-partition early stop composes into the exact global
+    changed==0 stopping rule)."""
+    if getattr(graph, "closed_edges", None) is not None:
+        from ligra_spark.algorithms.closed import label_propagation_closed
+
+        return label_propagation_closed(
+            graph,
+            max_iters=max_iters,
+            symmetrize=symmetrize and not graph.symmetric,
+            metrics=metrics,
+        )
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
     state = materialize(g.vertices.select("id", F.col("id").alias("label")))
 

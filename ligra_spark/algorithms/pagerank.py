@@ -48,6 +48,13 @@ def pagerank(
 ) -> DataFrame:
     """Returns ``(id LONG, rank DOUBLE)`` at convergence.
 
+    Graphs with a declared closure key (``Graph(closure_key=...)``,
+    e.g. the transcript link graph where no edge crosses a
+    conversation) dispatch to the fused partition-local kernel
+    (closed.py): zero per-iteration shuffle, identical output at rtol
+    1e-12 / same round count (pytest-pinned). Checkpointed runs stay
+    on the generic path (per-iteration checkpoint cadence contract).
+
     ``block`` chains that many power iterations into ONE driver job /
     checkpoint (superstep blocking): per-round L1 norms still ride the
     job as per-iteration ``Observation``s, but plan analysis, task
@@ -75,6 +82,12 @@ def pagerank(
     ``block``; it cannot be evidenced in local mode (no per-job
     scheduler RPC fan-out), so the default stays at the measured
     optimum for the harness this repo can run."""
+    if getattr(graph, "closed_edges", None) is not None and checkpointer is None:
+        from ligra_spark.algorithms.closed import pagerank_closed
+
+        return pagerank_closed(
+            graph, damping=damping, tol=tol, max_iters=max_iters, metrics=metrics
+        )
     n = graph.n
     if n == 0:
         return graph.spark.createDataFrame([], "id long, rank double")

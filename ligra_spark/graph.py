@@ -51,14 +51,20 @@ class Graph:
         num_partitions: int | None = None,
         persist: bool = True,
         truncate: bool | str = "auto",
+        closure_key: str | None = None,
     ) -> None:
         self.spark: SparkSession = edges.sparkSession
         self.weighted = "w" in edges.columns
+        if closure_key is not None and closure_key not in edges.columns:
+            raise ValueError(
+                f"closure_key {closure_key!r} not in edge columns {edges.columns}"
+            )
         cols = ["src", "dst"] + (["w"] if self.weighted else [])
         edges = edges.select(
             F.col("src").cast("long"),
             F.col("dst").cast("long"),
             *([F.col("w").cast("double")] if self.weighted else []),
+            *([F.col(closure_key)] if closure_key is not None else []),
         )
         if dedupe:
             edges = edges.where(F.col("src") != F.col("dst")).dropDuplicates(
@@ -91,14 +97,33 @@ class Graph:
             edges = truncate_plan(edges)
             self._edges_ckpt = edges
 
+        # Declared partition closure (closed.py): repartitioning by the
+        # closure key puts every vertex's ENTIRE neighborhood in one
+        # partition, so iterative algorithms dispatch to fused
+        # partition-local Arrow kernels with zero per-iteration shuffle.
+        # At 10^12-turn scale the transcripts table is stored bucketed
+        # by conv_id, so even this one repartition is storage-aligned.
+        self.closure_key = closure_key
+        self.closed_edges: DataFrame | None = None
+        if closure_key is not None:
+            ce = edges.repartition(num_partitions, closure_key).select(cols)
+            if persist:
+                ce.persist(StorageLevel.MEMORY_AND_DISK)
+            self.closed_edges = ce
+            # orientations below derive from the persisted closed table
+            # so the upstream derivation runs exactly once
+            edges = ce
+
         # The edge table in its AS-DERIVED partitioning, before the
         # src/dst repartitions below. Derivations that are already
         # entity-local (derive_edges windows by conv_id, so no edge
         # crosses a partition's conversations) keep that locality here;
         # partition-local operators (cc_contract_local) exploit it to
-        # finish in one contraction round. Cached iff the load-time
-        # truncation above fired; otherwise it re-runs the derivation
-        # (one extra pass — only partition-local consumers read it).
+        # finish in one contraction round — and a declared closure key
+        # (above) upgrades it to *guaranteed* closure. Cached iff the
+        # load-time truncation above fired or a closure key persisted
+        # it; otherwise it re-runs the derivation (one extra pass —
+        # only partition-local consumers read it).
         self.edges_derived = edges.select(cols)
 
         # Out-CSR analog: partitioned by src so state⋈edges is local.
@@ -159,14 +184,28 @@ class Graph:
     @property
     def n(self) -> int:
         if self._n is None:
-            self._n = self.vertices.count()
+            if self.closed_edges is not None:
+                self._count_closed()
+            else:
+                self._n = self.vertices.count()
         return self._n
 
     @property
     def m(self) -> int:
         if self._m is None:
-            self._m = self.edges_by_src.count()
+            if self.closed_edges is not None:
+                self._count_closed()
+            else:
+                self._m = self.edges_by_src.count()
         return self._m
+
+    def _count_closed(self) -> None:
+        """(n, m) in one partition-local pass over the closed table —
+        each vertex lives in exactly one closure partition, so distinct
+        endpoint counts sum without a global shuffle (closed.py)."""
+        from ligra_spark.algorithms.closed import closed_counts
+
+        self._n, self._m = closed_counts(self.closed_edges)
 
     def csr_blocks(self) -> DataFrame:
         """Partition-local CSR blocks in Arrow batches (built lazily,
@@ -211,6 +250,13 @@ class Graph:
         cols = [F.col("dst").alias("src"), F.col("src").alias("dst")] + (
             [F.col("w")] if self.weighted else []
         )
+        # closure survives direction swap (same partitions, roles flipped)
+        g.closure_key = self.closure_key
+        g.closed_edges = (
+            self.closed_edges.select(cols)
+            if self.closed_edges is not None
+            else None
+        )
         g.edges_by_src = self.edges_by_dst.select(cols)
         g.edges_by_dst = self.edges_by_src.select(cols)
         g.edges_derived = self.edges_derived.select(cols)
@@ -239,7 +285,13 @@ class Graph:
     def unpersist(self) -> None:
         from ligra_spark.algorithms._iter import unpersist as _unp
 
-        for df in (self.edges_by_src, self.edges_by_dst, self._degrees, self._vertices):
+        for df in (
+            self.edges_by_src,
+            self.edges_by_dst,
+            self._degrees,
+            self._vertices,
+            self.closed_edges,
+        ):
             if df is not None:
                 df.unpersist()
         if getattr(self, "_csr_blocks", None) is not None:

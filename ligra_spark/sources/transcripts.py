@@ -161,17 +161,27 @@ def vertex_ids(transcripts: DataFrame, mode: str = "hash") -> DataFrame:
 
 
 def derive_edges(
-    transcripts: DataFrame, id_mode: str = "hash", tool_edges: bool = True
+    transcripts: DataFrame,
+    id_mode: str = "hash",
+    tool_edges: bool = True,
+    closure_key: bool = False,
 ) -> DataFrame:
-    """``edges(src LONG, dst LONG)`` from a transcripts table."""
+    """``edges(src LONG, dst LONG)`` from a transcripts table.
+
+    ``closure_key=True`` adds ``ckey = xxhash64(conv_id)``: every edge
+    (reply and tool alike) lives inside one conversation, so ``ckey``
+    is a valid partition-closure key for ``Graph(closure_key="ckey")``
+    — the iterative algorithms then run as partition-local Arrow
+    kernels with zero per-iteration shuffle (closed.py)."""
     ids = vertex_ids(transcripts, id_mode)
     t = transcripts.join(ids, ["conv_id", "turn_idx"])
 
+    key_cols = [F.xxhash64("conv_id").alias("ckey")] if closure_key else []
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     reply = (
         t.select("conv_id", "turn_idx", "id", F.lag("id").over(w).alias("prev_id"))
         .where(F.col("prev_id").isNotNull())
-        .select(F.col("id").alias("src"), F.col("prev_id").alias("dst"))
+        .select(F.col("id").alias("src"), F.col("prev_id").alias("dst"), *key_cols)
     )
     if not tool_edges:
         return reply
@@ -187,13 +197,13 @@ def derive_edges(
         .where(F.col("reply_idx") > F.col("call_idx"))
         .groupBy("conv_id", "call_idx", "call_id", "tool")
         .agg(F.min(F.struct("reply_idx", "reply_id")).alias("r"))
-        .select("call_id", F.col("r.reply_id").alias("reply_id"))
+        .select("conv_id", "call_id", F.col("r.reply_id").alias("reply_id"))
     )
     invocation = matched.select(
-        F.col("call_id").alias("src"), F.col("reply_id").alias("dst")
+        F.col("call_id").alias("src"), F.col("reply_id").alias("dst"), *key_cols
     )
     tool_reply = matched.select(
-        F.col("reply_id").alias("src"), F.col("call_id").alias("dst")
+        F.col("reply_id").alias("src"), F.col("call_id").alias("dst"), *key_cols
     )
     return reply.unionAll(invocation).unionAll(tool_reply)
 

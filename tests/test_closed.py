@@ -1,0 +1,134 @@
+"""Closure-key dispatch (closed.py) vs the generic engine paths.
+
+The transcript link graph is conversation-closed (no edge crosses a
+conv — sources/transcripts.py), so ``Graph(closure_key="ckey")``
+dispatches PageRank / LP to fused partition-local Arrow kernels. These
+tests pin the EXACTNESS contract: identical results to the generic
+shuffling paths (bit-identical labels for LP, rtol 1e-12 ranks for
+PageRank — float summation order is the only permitted difference).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ligra_spark.algorithms._iter import IterMetrics
+from ligra_spark.algorithms.components import cc_contract_local
+from ligra_spark.algorithms.label_propagation import label_propagation
+from ligra_spark.algorithms.pagerank import pagerank
+from ligra_spark.graph import Graph
+from ligra_spark.sources import derive_edges, generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def pair(spark):
+    """(closed graph, plain graph) over the same 300-conv transcripts."""
+    t = generate_transcripts(spark, 300, distributed=False)
+    g_closed = Graph(
+        derive_edges(t, closure_key=True), closure_key="ckey", num_partitions=8
+    )
+    g_plain = Graph(derive_edges(t), num_partitions=8)
+    yield g_closed, g_plain
+    g_closed.unpersist()
+    g_plain.unpersist()
+
+
+def test_closed_counts_match(pair):
+    g_closed, g_plain = pair
+    # n parity doubles as the closure proof: the closed count sums
+    # per-partition distincts, which equals the global distinct count
+    # iff no vertex's conversation spans two partitions
+    assert g_closed.n == g_plain.n
+    assert g_closed.m == g_plain.m
+    assert g_closed.n > 0
+
+
+def test_pagerank_closed_parity_fixed_iters(pair):
+    g_closed, g_plain = pair
+    mc, mp = IterMetrics(), IterMetrics()
+    a = pagerank(g_closed, max_iters=10, metrics=mc)
+    b = pagerank(g_plain, max_iters=10, metrics=mp)
+    assert mc.iterations == mp.iterations == 10
+    j = a.join(b.withColumnRenamed("rank", "rank_b"), "id", "full_outer")
+    bad = j.where(
+        F.col("rank").isNull()
+        | F.col("rank_b").isNull()
+        | (F.abs(F.col("rank") - F.col("rank_b")) > 1e-12 * F.abs(F.col("rank_b")))
+    ).count()
+    assert bad == 0
+    # per-iteration L1 telemetry matches the generic path's
+    for rc, rp in zip(mc.rounds, mp.rounds):
+        assert rc["l1"] == pytest.approx(rp["l1"], rel=1e-9)
+
+
+def test_pagerank_closed_parity_converged(pair):
+    """Loose tolerance → converges mid-run → exercises the replay
+    path; round counts and ranks must match the generic stop."""
+    g_closed, g_plain = pair
+    mc, mp = IterMetrics(), IterMetrics()
+    a = pagerank(g_closed, tol=1e-4, max_iters=100, metrics=mc)
+    b = pagerank(g_plain, tol=1e-4, max_iters=100, metrics=mp)
+    assert mc.iterations == mp.iterations
+    assert 0 < mc.iterations < 100
+    j = a.join(b.withColumnRenamed("rank", "rank_b"), "id", "full_outer")
+    bad = j.where(
+        F.abs(F.col("rank") - F.col("rank_b")) > 1e-12 * F.abs(F.col("rank_b"))
+    ).count()
+    assert bad == 0
+
+
+def test_lp_closed_bit_identical(pair):
+    g_closed, g_plain = pair
+    a = label_propagation(g_closed, max_iters=5)
+    b = label_propagation(g_plain, max_iters=5)
+    assert a.count() == b.count() == g_plain.n
+    diff = (
+        a.withColumnRenamed("label", "la")
+        .join(b.withColumnRenamed("label", "lb"), "id", "full_outer")
+        .where(
+            F.col("la").isNull()
+            | F.col("lb").isNull()
+            | (F.col("la") != F.col("lb"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_cc_single_round_on_closed(pair):
+    """A declared closure key guarantees contraction finishes with an
+    empty residual in round one (edges_derived IS the closed table)."""
+    g_closed, g_plain = pair
+    m = IterMetrics()
+    a = cc_contract_local(g_closed, metrics=m)
+    b = cc_contract_local(g_plain)
+    assert m.rounds[0]["residual"] == 0
+    diff = (
+        a.withColumnRenamed("comp", "ca")
+        .join(b.withColumnRenamed("comp", "cb"), "id", "full_outer")
+        .where(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_closed_survives_transpose(pair):
+    g_closed, _ = pair
+    gt = g_closed.transpose()
+    assert gt.closed_edges is not None
+    # transpose twice = original ranks
+    a = pagerank(g_closed, max_iters=3)
+    b = pagerank(gt.transpose(), max_iters=3)
+    bad = (
+        a.join(b.withColumnRenamed("rank", "rank_b"), "id")
+        .where(F.abs(F.col("rank") - F.col("rank_b")) > 1e-12)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_derived_graphs_drop_closure(pair):
+    g_closed, _ = pair
+    assert g_closed.symmetrized().closed_edges is None
+    assert g_closed.pack_edges(F.col("src") != F.col("dst")).closed_edges is None
