@@ -299,6 +299,35 @@ r{k} AS (
 PAGERANK_EVENTS_SQL = _pagerank_events_sql(15)
 
 
+def _events_graph_closed(spark, sf_dir, partitions: int = 16) -> Graph:
+    """The event-chain graph with ``user_id`` declared as a closure key
+    (every chain edge links two events of one user), dispatching the
+    iterative algorithms to the fused partition-local Arrow kernels
+    (algorithms/closed.py)."""
+    return Graph(
+        edges_from_events(_events(spark, sf_dir), closure_key=True),
+        closure_key="ckey",
+        num_partitions=partitions,
+    )
+
+
+def q_pagerank_closed_events(spark, sf_dir):
+    """Closure-key dispatch exercised end-to-end against the SAME
+    15-round unrolled-CTE oracle as pagerank_events: a driver-level
+    value check that the zero-shuffle closed kernel reproduces the
+    power iteration exactly."""
+    g = _events_graph_closed(spark, sf_dir)
+    return pagerank(g, max_iters=15, tol=0.0).select(
+        "id", _round_rank(F.col("rank")).alias("rank")
+    )
+
+
+def q_lp_closed_events(spark, sf_dir):
+    """Closed-kernel LP vs the lag/lead window replay oracle — labels
+    must be bit-identical to the generic synchronous rounds."""
+    return label_propagation(_events_graph_closed(spark, sf_dir), max_iters=5)
+
+
 # --------------------------------------------------------------------------
 # graph queries over the mod-graph fixture (events chains folded onto 64
 # residue-class vertices, deterministically thinned — see mod_graph_edges).
@@ -2592,6 +2621,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- new in r04 — never driver-covered ---
     "kcore_mid": q_kcore_mid,
     "heat_kernel_rand_mod": q_heat_kernel_rand_mod,
+    "pagerank_closed_events": q_pagerank_closed_events,
+    "lp_closed_events": q_lp_closed_events,
     # --- freshly green in CORRECTNESS_r03 ---
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "kbfs_1phase_ecc_mod": q_kbfs_1phase_ecc_mod,
@@ -2727,6 +2758,8 @@ ORACLE_SQL: dict[str, str] = {
     "kcore_types": KCORE_TYPES_SQL,
     "kcore_mod": KCORE_MOD_SQL,
     "kcore_mid": KCORE_MID_SQL,
+    "pagerank_closed_events": PAGERANK_EVENTS_SQL,
+    "lp_closed_events": LP_EVENTS_SQL,
     "kcore_bucketed_mod": KCORE_MOD_SQL,
     "cf_iter1_mod": CF_ITER1_MOD_SQL,
     "mis_mod": MIS_MOD_SQL,

@@ -25,16 +25,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def edges_from_events(events: DataFrame) -> DataFrame:
-    """``(src, dst)``: event → user's previous event."""
+def edges_from_events(events: DataFrame, closure_key: bool = False) -> DataFrame:
+    """``(src, dst)``: event → user's previous event.
+
+    ``closure_key=True`` adds ``ckey = user_id``: every chain edge links
+    two events of one user, so ``ckey`` is a valid partition-closure key
+    for ``Graph(closure_key="ckey")`` (algorithms/closed.py)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        events.select(
-            F.col("event_id").alias("src"),
-            F.lag("event_id").over(w).alias("dst"),
-        )
-        .where(F.col("dst").isNotNull())
-    )
+    sel = [
+        F.col("event_id").alias("src"),
+        F.lag("event_id").over(w).alias("dst"),
+    ]
+    if closure_key:
+        sel.append(F.col("user_id").alias("ckey"))
+    return events.select(*sel).where(F.col("dst").isNotNull())
 
 
 EDGES_FROM_EVENTS_SQL = """
