@@ -98,6 +98,12 @@ def triangle_count(graph: Graph) -> int:
     exchange reuse does not reliably cover all three."""
     from ligra_spark.algorithms._iter import materialize, unpersist
 
+    if getattr(graph, "closed_edges", None) is not None:
+        # closure-key dispatch (closed.py): triangles never cross a
+        # closure partition, so the count is one Arrow pass, no joins
+        from ligra_spark.algorithms.closed import triangle_count_closed
+
+        return triangle_count_closed(graph)
     ep = materialize(_oriented_edges(graph))
     n = _closed_wedges(ep).count()
     unpersist(ep)
@@ -112,6 +118,10 @@ def triangles_per_vertex(graph: Graph) -> DataFrame:
     Graph is built here either."""
     from ligra_spark.algorithms._iter import materialize
 
+    if getattr(graph, "closed_edges", None) is not None:
+        from ligra_spark.algorithms.closed import triangles_per_vertex_closed
+
+        return triangles_per_vertex_closed(graph)
     ep = materialize(_oriented_edges(graph))
     tri = _closed_wedges(ep)
     corners = (

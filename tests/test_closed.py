@@ -113,6 +113,47 @@ def test_cc_single_round_on_closed(pair):
     assert diff == 0
 
 
+def test_triangle_closed_parity(pair):
+    """Transcript graphs DO contain triangles (a tool call at turn t
+    answered at t+2 closes {t, t+1, t+2}); counts must match the
+    generic rank-directed join plan exactly."""
+    from ligra_spark.algorithms.triangle import triangle_count, triangles_per_vertex
+
+    g_closed, g_plain = pair
+    n_closed = triangle_count(g_closed)
+    n_plain = triangle_count(g_plain)
+    assert n_closed == n_plain
+    a = triangles_per_vertex(g_closed)
+    b = triangles_per_vertex(g_plain)
+    diff = (
+        a.withColumnRenamed("triangles", "ta")
+        .join(b.withColumnRenamed("triangles", "tb"), "id", "full_outer")
+        .where(
+            F.col("ta").isNull() | F.col("tb").isNull() | (F.col("ta") != F.col("tb"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_triangle_closed_nonzero(spark):
+    """Hand-built two-component closed graph with known triangle
+    structure: K4 (4 triangles) in one closure group, a triangle plus a
+    pendant in another — the synthetic transcripts fixture is
+    triangle-free (tool replies are always adjacent), so this pins the
+    nonzero path explicitly."""
+    from ligra_spark.algorithms.triangle import triangle_count, triangles_per_vertex
+
+    k4 = [(a, b, 1) for a in range(4) for b in range(4) if a < b]
+    tri = [(10, 11, 2), (11, 12, 2), (10, 12, 2), (12, 13, 2)]
+    df = spark.createDataFrame(k4 + tri, "src long, dst long, ckey long")
+    g = Graph(df, closure_key="ckey", num_partitions=4)
+    g_plain = Graph(df.select("src", "dst"), num_partitions=4)
+    assert triangle_count(g) == triangle_count(g_plain) == 5
+    pv = {r.id: r.triangles for r in triangles_per_vertex(g).collect()}
+    assert pv == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1, 13: 0}
+
+
 def test_closed_survives_transpose(pair):
     g_closed, _ = pair
     gt = g_closed.transpose()
