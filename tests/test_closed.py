@@ -169,6 +169,16 @@ def test_closed_survives_transpose(pair):
     assert bad == 0
 
 
+def test_closed_lp_plan_shuffle_free(pair):
+    """The closed LP state plan contains at most ONE exchange — the
+    up-front closure repartition inside the cached edge table; no
+    per-iteration shuffle exists anywhere in the lineage."""
+    g_closed, _ = pair
+    state = label_propagation(g_closed, max_iters=5)
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
+
+
 def test_derived_graphs_drop_closure(pair):
     g_closed, _ = pair
     assert g_closed.symmetrized().closed_edges is None
