@@ -328,6 +328,55 @@ def q_lp_closed_events(spark, sf_dir):
     return label_propagation(_events_graph_closed(spark, sf_dir), max_iters=5)
 
 
+def q_tri_closed_users(spark, sf_dir):
+    """Closed triangle kernel over the per-user clique graph (closed by
+    user_id, triangle-rich) vs the closed-form oracle
+    Σ_users C(min(cnt, 6), 3)."""
+    from ligra_spark.algorithms.triangle import triangle_count
+    from ligra_spark.sources.events import user_clique_edges
+
+    g = Graph(
+        user_clique_edges(_events(spark, sf_dir), closure_key=True),
+        closure_key="ckey",
+        num_partitions=16,
+    )
+    return spark.createDataFrame([(triangle_count(g),)], "triangles long")
+
+
+TRI_CLOSED_USERS_SQL = """
+SELECT CAST(SUM(c * (c - 1) * (c - 2) / 6) AS BIGINT) AS triangles
+FROM (SELECT LEAST(COUNT(*), 6) AS c FROM events GROUP BY user_id)
+"""
+
+
+def q_tri_vertex_closed_users(spark, sf_dir):
+    """Per-vertex incident triangle counts on the same clique graph —
+    each of a user's first-min(cnt,6) events sits in C(c-1, 2)
+    triangles, another exact closed form."""
+    from ligra_spark.algorithms.triangle import triangles_per_vertex
+    from ligra_spark.sources.events import user_clique_edges
+
+    g = Graph(
+        user_clique_edges(_events(spark, sf_dir), closure_key=True),
+        closure_key="ckey",
+        num_partitions=16,
+    )
+    return triangles_per_vertex(g)
+
+
+TRI_VERTEX_CLOSED_USERS_SQL = """
+WITH r AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         LEAST(COUNT(*) OVER (PARTITION BY user_id), 6) AS c
+  FROM events
+)
+SELECT event_id AS id,
+       CAST((c - 1) * (c - 2) / 2 AS BIGINT) AS triangles
+FROM r WHERE rn <= c AND c >= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # graph queries over the mod-graph fixture (events chains folded onto 64
 # residue-class vertices, deterministically thinned — see mod_graph_edges).
@@ -2623,6 +2672,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heat_kernel_rand_mod": q_heat_kernel_rand_mod,
     "pagerank_closed_events": q_pagerank_closed_events,
     "lp_closed_events": q_lp_closed_events,
+    "tri_closed_users": q_tri_closed_users,
+    "tri_vertex_closed_users": q_tri_vertex_closed_users,
     # --- freshly green in CORRECTNESS_r03 ---
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "kbfs_1phase_ecc_mod": q_kbfs_1phase_ecc_mod,
@@ -2760,6 +2811,8 @@ ORACLE_SQL: dict[str, str] = {
     "kcore_mid": KCORE_MID_SQL,
     "pagerank_closed_events": PAGERANK_EVENTS_SQL,
     "lp_closed_events": LP_EVENTS_SQL,
+    "tri_closed_users": TRI_CLOSED_USERS_SQL,
+    "tri_vertex_closed_users": TRI_VERTEX_CLOSED_USERS_SQL,
     "kcore_bucketed_mod": KCORE_MOD_SQL,
     "cf_iter1_mod": CF_ITER1_MOD_SQL,
     "mis_mod": MIS_MOD_SQL,

@@ -50,6 +50,32 @@ SELECT src, dst FROM (
 """
 
 
+def user_clique_edges(
+    events: DataFrame, k: int = 6, closure_key: bool = False
+) -> DataFrame:
+    """``(src, dst)``: a clique over each user's first ``k`` events
+    (ranked by ts, event_id), one direction per pair (lower rank →
+    higher). Closed by ``user_id`` and triangle-RICH — the fixture for
+    the closed triangle kernel's driver oracle, whose count has the
+    closed form ``Σ_users C(min(cnt,k), 3)``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = events.select(
+        "user_id", "event_id", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= k)
+    a, b = t.alias("a"), t.alias("b")
+    sel = [
+        F.col("a.event_id").alias("src"),
+        F.col("b.event_id").alias("dst"),
+    ]
+    if closure_key:
+        sel.append(F.col("a.user_id").alias("ckey"))
+    return (
+        a.join(b, "user_id")
+        .where(F.col("a.rn") < F.col("b.rn"))
+        .select(*sel)
+    )
+
+
 def mod_graph_edges(events: DataFrame, m: int = 64, keep: int = 5) -> DataFrame:
     """``(src, dst)``: event-chain links folded onto ``m`` residue-class
     vertices, deterministically thinned to ~``keep/101`` of the possible
