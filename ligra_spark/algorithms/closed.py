@@ -282,6 +282,70 @@ def _lp_kernel(iters: int, symmetrize: bool):
     return kernel
 
 
+def connected_components_closed(
+    graph, metrics: IterMetrics | None = None
+) -> DataFrame:
+    """``(id, comp)`` min-id components in ONE kernel pass, zero
+    shuffle: with a declared closure key every component is a subset of
+    one closure group, so partition-local Shiloach–Vishkin labels ARE
+    the global labels — no cross-partition coupling rounds, no window
+    sort-shuffle over the pair stream (cc_contract_local's one
+    remaining exchange). Identical output to Components.C's hash-min
+    fixpoint (same min-id contract as cc_contract_local)."""
+
+    def _cc_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        srcs, dsts = [], []
+        for batch in batches:
+            srcs.append(batch.column(0).to_numpy(zero_copy_only=False))
+            dsts.append(batch.column(1).to_numpy(zero_copy_only=False))
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        if src.size == 0:
+            return
+        ids = np.unique(np.concatenate([src, dst]))
+        nl = len(ids)
+        idx_t = np.int32 if nl < 2**31 else np.int64
+        s = np.searchsorted(ids, src).astype(idx_t, copy=False)
+        d = np.searchsorted(ids, dst).astype(idx_t, copy=False)
+        lab = np.arange(nl, dtype=idx_t)
+        # Shiloach–Vishkin root hooking + full pointer-doubling
+        # compression — the cc_contract_local kernel (components.py:
+        # 182-238) minus the cross-partition emission machinery
+        while True:
+            before = lab.copy()
+            rs, rd = lab[s], lab[d]
+            m = np.minimum(rs, rd)
+            np.minimum.at(lab, rs, m)
+            np.minimum.at(lab, rd, m)
+            while True:
+                l2 = lab[lab]
+                if np.array_equal(l2, lab):
+                    break
+                lab = l2
+            if np.array_equal(lab, before):
+                break
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids), pa.array(ids[lab])], ["id", "comp"]
+        )
+
+    timer = Timer()
+    out = graph.closed_edges.select("src", "dst").mapInArrow(
+        _cc_kernel, "id long, comp long"
+    )
+    if metrics is not None:
+        # materialize so the recorded wall is the kernel's, not a lazy 0
+        from ligra_spark.algorithms._iter import materialize
+
+        out = materialize(out)
+        metrics.record(0, residual=0, wall_s=timer.lap())
+    return out
+
+
 def _tri_kernel(per_vertex: bool):
     """Partition-local Triangle.C: sorted-adjacency wedge closure under
     the (degree, id) compact-forward rank — triangles never cross a

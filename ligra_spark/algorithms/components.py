@@ -174,6 +174,15 @@ def cc_contract_local(
     MapReduce and Beyond" — public literature), re-expressed as Arrow
     kernels + DataFrame aggregation."""
     if edges is None:
+        if getattr(graph, "closed_edges", None) is not None:
+            # declared closure: every component is inside one closure
+            # group, so the single-pass closed kernel is exact — no
+            # coupling rounds, no pair-stream sort-shuffle (closed.py)
+            from ligra_spark.algorithms.closed import (
+                connected_components_closed,
+            )
+
+            return connected_components_closed(graph, metrics=metrics)
         edges = graph.edges_derived
     edges = edges.select("src", "dst")
 

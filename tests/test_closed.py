@@ -174,9 +174,13 @@ def test_closed_lp_plan_shuffle_free(pair):
     up-front closure repartition inside the cached edge table; no
     per-iteration shuffle exists anywhere in the lineage."""
     g_closed, _ = pair
-    state = label_propagation(g_closed, max_iters=5)
+    state = label_propagation(g_closed, max_iters=4)
     plan = state._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 1, plan
+    # every Exchange line must be the up-front ckey repartition (AQE
+    # prints the same cached exchange in both its initial and final
+    # plan, so count-based assertions double-count it)
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex and all("ckey" in ln for ln in ex), plan
 
 
 def test_derived_graphs_drop_closure(pair):
