@@ -40,11 +40,25 @@ def main() -> None:
     g = Graph(edges.select("src", "dst"), num_partitions=8)
     pr = pagerank(g, max_iters=1)
     comps = cc_contract_local(g)
+    # the closure-key production path (closed.py kernels) must deploy
+    # from the zip too — its Arrow kernels ship by value (cloudpickle),
+    # which this exercises end-to-end
+    gc_ = Graph(
+        derive_edges(transcripts, closure_key=True),
+        closure_key="ckey",
+        num_partitions=8,
+    )
+    pr_closed = pagerank(gc_, max_iters=1)
     out = {
         "edges": g.m,
         "pr_rows": pr.count(),
         "pr_sum": round(sum(r["rank"] for r in pr.collect()), 6),
+        "pr_closed_sum": round(sum(r["rank"] for r in pr_closed.collect()), 6),
         "components": comps.select("comp").distinct().count(),
+        "components_closed": cc_contract_local(gc_)
+        .select("comp")
+        .distinct()
+        .count(),
         "import_path": sys.modules["ligra_spark"].__file__,
     }
     print(json.dumps(out))
