@@ -106,6 +106,9 @@ class Graph:
         self.closure_key = closure_key
         self.closed_edges: DataFrame | None = None
         if closure_key is not None:
+            # keyed view retained (lazy, unpersisted) for the opt-in
+            # validate_closure() group-level check
+            self._closed_keyed = edges
             ce = edges.repartition(num_partitions, closure_key).select(cols)
             if persist:
                 ce.persist(StorageLevel.MEMORY_AND_DISK)
@@ -206,6 +209,36 @@ class Graph:
         from ligra_spark.algorithms.closed import closed_counts
 
         self._n, self._m = closed_counts(self.closed_edges)
+
+    def validate_closure(self) -> None:
+        """Raise unless the declared closure key actually closes the
+        edge set. A vertex whose edges span two closure groups would
+        make every partition-local kernel (closed.py) **silently
+        wrong** — each partition sees only part of its neighborhood —
+        so callers declaring a key they did not derive themselves
+        should validate once. The check is GROUP-level (distinct
+        (key, vertex) pairs vs distinct vertices), not partition-level:
+        two violating groups hashed into the same partition would hide
+        a partition-level count mismatch. Opt-in because the in-repo
+        derivations (conv_id over transcripts, user_id over event
+        chains) are closed by construction."""
+        if self.closed_edges is None:
+            raise ValueError("no closure key declared on this graph")
+        k = self._closed_keyed
+        key = F.col(self.closure_key).alias("k")
+        ep = k.select(key, F.col("src").alias("id")).unionAll(
+            k.select(key, F.col("dst").alias("id"))
+        )
+        n_pairs = ep.distinct().count()
+        n_glob = ep.select("id").distinct().count()
+        if n_pairs != n_glob:
+            raise ValueError(
+                f"closure_key {self.closure_key!r} does not close the "
+                f"graph: {n_pairs} distinct (key, vertex) pairs vs "
+                f"{n_glob} distinct vertices — {n_pairs - n_glob} "
+                "vertex slots span closure groups; partition-local "
+                "kernels would be wrong"
+            )
 
     def csr_blocks(self) -> DataFrame:
         """Partition-local CSR blocks in Arrow batches (built lazily,

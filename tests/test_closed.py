@@ -187,3 +187,20 @@ def test_derived_graphs_drop_closure(pair):
     g_closed, _ = pair
     assert g_closed.symmetrized().closed_edges is None
     assert g_closed.pack_edges(F.col("src") != F.col("dst")).closed_edges is None
+
+
+def test_validate_closure(pair, spark):
+    g_closed, g_plain = pair
+    g_closed.validate_closure()  # conv-derived key: closed by construction
+    with pytest.raises(ValueError, match="no closure key"):
+        g_plain.validate_closure()
+    # a key that does NOT close the graph (parity of dst on a path)
+    # must be rejected loudly, not silently produce wrong kernels
+    edges = spark.createDataFrame(
+        [(i, i + 1, (i + 1) % 2) for i in range(10)],
+        "src long, dst long, ckey long",
+    )
+    bad = Graph(edges, closure_key="ckey", num_partitions=4)
+    with pytest.raises(ValueError, match="does not close"):
+        bad.validate_closure()
+    bad.unpersist()
