@@ -222,6 +222,7 @@ def _lp_kernel(iters: int, symmetrize: bool):
         nl = len(ids)
         s = np.searchsorted(ids, src)
         d = np.searchsorted(ids, dst)
+        emit_mask = None
         if symmetrize:
             # union with reversed edges, dedupe directed pairs, drop
             # self-loops — exactly Graph.symmetrized()'s dedupe=True
@@ -232,6 +233,15 @@ def _lp_kernel(iters: int, symmetrize: bool):
             key = np.unique(s[keep] * np.int64(nl) + d[keep])
             s = (key // nl).astype(np.int64)
             d = (key % nl).astype(np.int64)
+            # the generic path's vertex universe is the SYMMETRIZED
+            # graph's endpoints: a vertex whose only edges were
+            # self-loops drops out of it (found by the randomized
+            # parity test), so restrict emission the same way
+            present = np.zeros(nl, np.bool_)
+            present[s] = True
+            present[d] = True
+            if not present.all():
+                emit_mask = present
         lab = ids.copy()  # labels are GLOBAL vertex ids
         changed_per_round = []
         for _ in range(iters if len(s) else 0):
@@ -262,6 +272,9 @@ def _lp_kernel(iters: int, symmetrize: bool):
             lab = new_lab
             if changed == 0:  # closed fixpoint: stays fixed forever
                 break
+        if emit_mask is not None:
+            ids = ids[emit_mask]
+            lab = lab[emit_mask]
         t = len(changed_per_round)
         yield pa.RecordBatch.from_arrays(
             [
@@ -271,7 +284,10 @@ def _lp_kernel(iters: int, symmetrize: bool):
                 ),
                 pa.array(
                     np.concatenate(
-                        [np.full(nl, -1, np.int32), np.arange(t, dtype=np.int32)]
+                        [
+                            np.full(len(ids), -1, np.int32),
+                            np.arange(t, dtype=np.int32),
+                        ]
                     ),
                     type=pa.int32(),
                 ),

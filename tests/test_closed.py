@@ -189,6 +189,68 @@ def test_derived_graphs_drop_closure(pair):
     assert g_closed.pack_edges(F.col("src") != F.col("dst")).closed_edges is None
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_closed_random_parity(spark, seed):
+    """Randomized closed graphs with the nasty cases the transcript
+    derivation never produces — self-loops, duplicate directed edges,
+    negative 64-bit ids, singleton-edge groups — must still match the
+    generic engine exactly (PR rtol 1e-12, LP/CC/Triangle identical)."""
+    import numpy as np
+
+    from ligra_spark.algorithms.components import cc_contract_local
+    from ligra_spark.algorithms.triangle import triangle_count
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for grp in range(25):
+        nv = int(rng.integers(2, 9))
+        # hash-like ids: random int64, sign included
+        vids = rng.integers(-(2**62), 2**62, size=nv)
+        ne = int(rng.integers(1, 3 * nv))
+        for _ in range(ne):
+            a, b = rng.integers(0, nv, size=2)  # self-loops + dupes ok
+            rows.append((int(vids[a]), int(vids[b]), grp))
+    df = spark.createDataFrame(rows, "src long, dst long, ckey long")
+    g_closed = Graph(df, closure_key="ckey", num_partitions=8)
+    g_plain = Graph(df.select("src", "dst"), num_partitions=8)
+    g_closed.validate_closure()
+
+    assert (g_closed.n, g_closed.m) == (g_plain.n, g_plain.m)
+    a = pagerank(g_closed, max_iters=7)
+    b = pagerank(g_plain, max_iters=7)
+    bad = (
+        a.join(b.withColumnRenamed("rank", "rb"), "id", "full_outer")
+        .where(
+            F.col("rank").isNull()
+            | F.col("rb").isNull()
+            | (F.abs(F.col("rank") - F.col("rb")) > 1e-12 * F.abs(F.col("rb")))
+        )
+        .count()
+    )
+    assert bad == 0
+    la = label_propagation(g_closed, max_iters=4)
+    lb = label_propagation(g_plain, max_iters=4)
+    assert (
+        la.withColumnRenamed("label", "x")
+        .join(lb.withColumnRenamed("label", "y"), "id", "full_outer")
+        .where(F.col("x").isNull() | F.col("y").isNull() | (F.col("x") != F.col("y")))
+        .count()
+        == 0
+    )
+    ca = cc_contract_local(g_closed)
+    cb = cc_contract_local(g_plain)
+    assert (
+        ca.withColumnRenamed("comp", "x")
+        .join(cb.withColumnRenamed("comp", "y"), "id", "full_outer")
+        .where(F.col("x").isNull() | F.col("y").isNull() | (F.col("x") != F.col("y")))
+        .count()
+        == 0
+    )
+    assert triangle_count(g_closed) == triangle_count(g_plain)
+    g_closed.unpersist()
+    g_plain.unpersist()
+
+
 def test_validate_closure(pair, spark):
     g_closed, g_plain = pair
     g_closed.validate_closure()  # conv-derived key: closed by construction
