@@ -281,6 +281,10 @@ def main() -> None:
         rmat_m = max(10_000, int(5_000_000 * sf))
         rg = Graph(rmat_graph_df(spark, 17, rmat_m), dedupe=True, num_partitions=CPUS)
         _ = rg.m
+        # one FULL untimed run (reference protocol, ligra.h:480): the
+        # wedge-join path's first execution carries ~3x one-time JIT/
+        # codegen cost (r04 spread [19.2, 6.5, 6.3] without it)
+        triangle_count(rg)
         tri = timed("triangle_rmat", lambda: triangle_count(rg), trials=3)
         extras["rmat_triangles"] = tri
         rg.unpersist()
@@ -295,6 +299,10 @@ def main() -> None:
         if _want("pagerank_events"):
             timed("pagerank_events", lambda: pagerank(ev, max_iters=PR_ITERS).count())
         if _want("cc_events"):
+            # untimed first run, same ligra.h:480 protocol (r04 spread
+            # [13.9, 7.5, 6.8] — the hash-min loop's iterate/checkpoint
+            # path pays one-time JIT on first execution)
+            connected_components(ev).count()
             timed("cc_events", lambda: connected_components(ev).count(), trials=3)
         ev.unpersist()
 
