@@ -1,3 +1,4 @@
+from ligra_spark.streaming.components import streaming_components
 from ligra_spark.streaming.ingest import (
     incremental_degrees,
     windowed_edge_rates,
@@ -9,5 +10,6 @@ __all__ = [
     "incremental_degrees",
     "make_degree_merger",
     "stream_edges",
+    "streaming_components",
     "windowed_edge_rates",
 ]

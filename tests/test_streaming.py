@@ -171,3 +171,79 @@ def test_merge_guard_rejects_foreign_checkpoint(spark, tmp_path):
     # different token: stale manifest -> explicit error, state untouched
     with pytest.raises(RuntimeError, match="checkpoint"):
         make_degree_merger(state, num_buckets=4, run_token="ckpt-B")(batch, 0)
+
+
+def test_streaming_components_incremental(spark, tmp_path):
+    """Streaming CC over a closure-keyed edge stream: after each
+    micro-batch the accumulated mapping equals batch CC over all edges
+    seen; untouched conversations emit nothing (update mode)."""
+    from pyspark.sql import functions as F
+
+    from ligra_spark.streaming import streaming_components
+
+    edges_dir = tmp_path / "edges_in"
+    edges_dir.mkdir()
+    ckpt = str(tmp_path / "cc_ckpt")
+    # conv 1: two separate chains in batch 1, joined by batch 2
+    # conv 2: batch 1 only (must NOT re-emit in batch 2)
+    # conv 3: appears only in batch 2
+    b1 = [(1, 2, 1), (3, 4, 1), (10, 11, 2), (11, 12, 2)]
+    b2 = [(2, 3, 1), (20, 21, 3)]
+    schema = "src long, dst long, ckey long"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(edges_dir / "b1")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(edges_dir) + "/*")
+    )
+    got: list[tuple[int, list]] = []
+    q = (
+        streaming_components(stream)
+        .writeStream.foreachBatch(
+            lambda df, eid: got.append((eid, df.collect()))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_after_b1 = len(got)
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+            str(edges_dir / "b2")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows1 = [r for _, batch in got[:n_after_b1] for r in batch]
+    rows2 = [r for _, batch in got[n_after_b1:] for r in batch]
+    # batch 1 emits every vertex (all new)
+    assert {(r.id, r.comp) for r in rows1} == {
+        (1, 1), (2, 1), (3, 3), (4, 3), (10, 10), (11, 10), (12, 10)
+    }
+    # batch 2: conv 1's merge re-labels the 3-4 chain (1 and 2 keep
+    # comp 1 — unchanged, not re-emitted), conv 3 is new, conv 2 silent
+    assert {(r.id, r.comp) for r in rows2} == {
+        (3, 1), (4, 1), (20, 20), (21, 20)
+    }
+    assert all(r.ckey != 2 for r in rows2)
+    # accumulated mapping == batch CC over the union of all edges
+    from ligra_spark.algorithms.components import cc_contract_local
+    from ligra_spark.graph import Graph
+
+    final = {}
+    for _, batch in got:
+        for r in batch:
+            final[r.id] = r.comp
+    g = Graph(
+        spark.createDataFrame(b1 + b2, schema),
+        closure_key="ckey",
+        num_partitions=4,
+    )
+    want = {r.id: r.comp for r in cc_contract_local(g).collect()}
+    assert final == want
+    g.unpersist()
