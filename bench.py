@@ -194,12 +194,31 @@ def main() -> None:
             # 12.4, 9.1, 7.9, 5.4, 5.4, 3.6 then a flat ~1.0s/iter) —
             # a 5-iter untimed run absorbs that off the clock, exactly
             # as done for LP below
-            pagerank(g, max_iters=5).count()
+            # warmup released like LP below: the closed PR path persists
+            # its kernel output, and an unreleased warmup both pins a
+            # vertex-sized cache for the rest of the run AND (when
+            # PR_ITERS happens to equal the warmup's 5) plan-cache-
+            # matches the timed run into a cache read
+            from ligra_spark.algorithms._iter import unpersist as _unp_pr
+
+            try:
+                wu_pr = pagerank(g, max_iters=5)
+                wu_pr.count()
+                _unp_pr(wu_pr)
+            except Exception as exc:  # warmup must never abort the bench
+                print(f"[bench] pagerank warmup failed: {exc}", file=sys.stderr)
             pr_m = IterMetrics()
-            timed(
-                "pagerank_transcripts",
-                lambda: pagerank(g, max_iters=PR_ITERS, metrics=pr_m).count(),
-            )
+            pr_res: list = []
+
+            def _pr_trial():
+                r = pagerank(g, max_iters=PR_ITERS, metrics=pr_m)
+                n_ = r.count()
+                pr_res.append(r)
+                return n_
+
+            timed("pagerank_transcripts", _pr_trial)
+            for r in pr_res:
+                _unp_pr(r)
             extras["pagerank_edges_per_sec"] = round(
                 m * PR_ITERS / timings["pagerank_transcripts"], 1
             )
@@ -224,7 +243,10 @@ def main() -> None:
             # local[16] round-0 wall 6.5s vs ~3s warm; it also absorbs
             # whatever transient the preceding PR run leaves (JIT
             # recompilation, old-gen debris) at the point cc runs
-            cc_contract_local(g).count()
+            try:
+                cc_contract_local(g).count()
+            except Exception as exc:
+                print(f"[bench] cc warmup failed: {exc}", file=sys.stderr)
             cc_m = IterMetrics()
             timed(
                 "cc_transcripts",
@@ -253,9 +275,12 @@ def main() -> None:
             # releases too; timed trials then recompute honestly.
             from ligra_spark.algorithms._iter import unpersist as _unp
 
-            wu = label_propagation(g, max_iters=5)
-            wu.count()
-            _unp(wu)
+            try:
+                wu = label_propagation(g, max_iters=5)
+                wu.count()
+                _unp(wu)
+            except Exception as exc:
+                print(f"[bench] lp warmup failed: {exc}", file=sys.stderr)
             lp_metrics: list[IterMetrics] = []
 
             def _lp_trial():
@@ -284,7 +309,10 @@ def main() -> None:
         # one FULL untimed run (reference protocol, ligra.h:480): the
         # wedge-join path's first execution carries ~3x one-time JIT/
         # codegen cost (r04 spread [19.2, 6.5, 6.3] without it)
-        triangle_count(rg)
+        try:
+            triangle_count(rg)
+        except Exception as exc:
+            print(f"[bench] triangle warmup failed: {exc}", file=sys.stderr)
         tri = timed("triangle_rmat", lambda: triangle_count(rg), trials=3)
         extras["rmat_triangles"] = tri
         rg.unpersist()
@@ -302,7 +330,10 @@ def main() -> None:
             # untimed first run, same ligra.h:480 protocol (r04 spread
             # [13.9, 7.5, 6.8] — the hash-min loop's iterate/checkpoint
             # path pays one-time JIT on first execution)
-            connected_components(ev).count()
+            try:
+                connected_components(ev).count()
+            except Exception as exc:
+                print(f"[bench] cc_events warmup failed: {exc}", file=sys.stderr)
             timed("cc_events", lambda: connected_components(ev).count(), trials=3)
         ev.unpersist()
 

@@ -182,10 +182,14 @@ def pagerank_closed(
     )
     wall = timer.lap()
     if metrics is not None:
-        for t in range(min(rounds, t_max)):
+        # the kernel fuses all rounds into ONE pass, so per-round walls
+        # are the pass wall amortized evenly (flagged fused=True — a
+        # "degrading tail" diagnostic cannot fire on these); recorded
+        # for ALL executed rounds so the walls sum to the measured wall
+        for t in range(rounds):
             metrics.record(
                 t, l1=glob_l1.get(t, 0.0), wall_s=wall / max(rounds, 1),
-                edges=graph.m,
+                edges=graph.m, fused=True,
             )
     if rounds < t_max:
         # tolerance crossed before some partition's last executed round:
@@ -485,10 +489,15 @@ def label_propagation_closed(
         )
         glob = {int(r["it"]): int(r["changed"]) for r in rows}
         t_max = max(glob) + 1 if glob else 0
-        # global rounds = rounds until every partition was fixed (or cap)
+        # global rounds = rounds until every partition was fixed (or
+        # cap); walls are the fused pass amortized evenly (fused=True,
+        # same caveat as pagerank_closed)
         wall = timer.lap()
         for t in range(t_max):
-            metrics.record(t, changed=glob.get(t, 0), wall_s=wall / max(t_max, 1))
+            metrics.record(
+                t, changed=glob.get(t, 0), wall_s=wall / max(t_max, 1),
+                fused=True,
+            )
     state = out.where(F.col("it") < 0).select("id", "label")
     state._ligra_ckpt = out
     return state

@@ -290,6 +290,11 @@ class Graph:
             if self.closed_edges is not None
             else None
         )
+        if self.closed_edges is not None:
+            # keyed view for validate_closure(): same swap, key kept
+            g._closed_keyed = self._closed_keyed.select(
+                *cols, F.col(self.closure_key)
+            )
         g.edges_by_src = self.edges_by_dst.select(cols)
         g.edges_by_dst = self.edges_by_src.select(cols)
         g.edges_derived = self.edges_derived.select(cols)

@@ -158,6 +158,7 @@ def test_closed_survives_transpose(pair):
     g_closed, _ = pair
     gt = g_closed.transpose()
     assert gt.closed_edges is not None
+    gt.validate_closure()  # keyed view must survive the swap too
     # transpose twice = original ranks
     a = pagerank(g_closed, max_iters=3)
     b = pagerank(gt.transpose(), max_iters=3)
