@@ -464,6 +464,91 @@ def triangles_per_vertex_closed(graph) -> DataFrame:
     return edges.mapInArrow(_tri_kernel(True), "id long, triangles long")
 
 
+def eccentricity_closed(graph) -> DataFrame:
+    """``(id, radius INT)`` — EXACT per-vertex eccentricity over the
+    symmetrized graph, one kernel pass.
+
+    The generic exact variant (kBFS-Exact.C, radii.py ``kbfs_exact``)
+    needs ``ceil(n/64)`` full 64-bit multi-BFS propagations — O(n·m/64)
+    work, hopeless at corpus scale. Closure changes the asymptotics:
+    eccentricities only involve a vertex's own component, and closed
+    components are conversation-sized, so a per-partition level-
+    synchronous multi-source BFS (every vertex a source at once, pair
+    frontier deduped against a sorted visited-key array) costs
+    Σ_conv O(L²) total — linear in the corpus for bounded conversation
+    length. Vertex universe and distances match ``kbfs_exact``
+    (symmetrized + deduped graph; pytest parity)."""
+
+    def _ecc_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        srcs, dsts = [], []
+        for batch in batches:
+            srcs.append(batch.column(0).to_numpy(zero_copy_only=False))
+            dsts.append(batch.column(1).to_numpy(zero_copy_only=False))
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        if src.size == 0:
+            return
+        ids = np.unique(np.concatenate([src, dst]))
+        nl = len(ids)
+        s = np.searchsorted(ids, src)
+        d = np.searchsorted(ids, dst)
+        # symmetrize + dedupe + drop self-loops (kbfs_exact runs over
+        # graph.symmetrized(), whose vertex universe also drops
+        # self-loop-only vertices — same emission rule as the LP kernel)
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        keep = a != b
+        und = np.unique(a[keep] * np.int64(nl) + b[keep])
+        a = (und // nl).astype(np.int64)
+        b = (und % nl).astype(np.int64)
+        present = np.zeros(nl, np.bool_)
+        present[a] = True
+        present[b] = True
+        ecc = np.zeros(nl, np.int32)
+        if len(a):
+            # CSR over the deduped symmetric edges (sorted by (a, b))
+            offs = np.searchsorted(a, np.arange(nl + 1))
+            # all-sources level-synchronous BFS: pair keys src*nl + v
+            cur = np.arange(nl, dtype=np.int64) * nl + np.arange(nl)
+            cur = cur[present[np.arange(nl)]]
+            visited = np.sort(cur)
+            level = 0
+            while len(cur):
+                level += 1
+                cs, cv = cur // nl, cur % nl
+                cnt = offs[cv + 1] - offs[cv]
+                ns = np.repeat(cs, cnt)
+                cum = np.concatenate([[0], np.cumsum(cnt)])
+                idx = (
+                    np.arange(cum[-1])
+                    - np.repeat(cum[:-1], cnt)
+                    + np.repeat(offs[cv], cnt)
+                )
+                keys = np.unique(ns * np.int64(nl) + b[idx])
+                pos = np.searchsorted(visited, keys)
+                pos_c = np.minimum(pos, len(visited) - 1)
+                new = keys[(pos >= len(visited)) | (visited[pos_c] != keys)]
+                if not len(new):
+                    break
+                visited = np.union1d(visited, new)
+                np.maximum.at(ecc, new // nl, np.int32(level))
+                cur = new
+        ids = ids[present]
+        ecc = ecc[present]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids), pa.array(ecc, type=pa.int32())], ["id", "radius"]
+        )
+
+    return graph.closed_edges.select("src", "dst").mapInArrow(
+        _ecc_kernel, "id long, radius int"
+    )
+
+
 def label_propagation_closed(
     graph,
     max_iters: int = 20,

@@ -251,7 +251,17 @@ def kbfs_exact(
 
     O(n/64) full propagations — the reference's exact variant has the
     same asymptotics; use ``radii`` (sampled) or ``fm_ecc`` (sketch) at
-    scale. Returns ``(id, radius INT)`` over the symmetrized graph."""
+    scale. Returns ``(id, radius INT)`` over the symmetrized graph.
+
+    Closure-keyed graphs dispatch to ``eccentricity_closed``
+    (closed.py): eccentricities never leave a closure group, so the
+    exact answer is ONE partition-local all-sources-BFS pass —
+    Σ O(component²) total work, linear in the corpus for bounded
+    conversation length, where this batched variant is O(n·m/64)."""
+    if getattr(graph, "closed_edges", None) is not None:
+        from ligra_spark.algorithms.closed import eccentricity_closed
+
+        return eccentricity_closed(graph)
     from math import ceil
 
     from pyspark.sql import Window

@@ -252,6 +252,33 @@ def test_closed_random_parity(spark, seed):
     g_plain.unpersist()
 
 
+def test_eccentricity_closed_parity(spark):
+    """Exact eccentricity via the closed all-sources-BFS kernel equals
+    kbfs_exact's batched 64-bit multi-BFS on a small transcript graph
+    (tool edges give non-chain distance structure)."""
+    from ligra_spark.algorithms.radii import kbfs_exact
+
+    t = generate_transcripts(spark, 30, distributed=False)
+    g_closed = Graph(
+        derive_edges(t, closure_key=True), closure_key="ckey", num_partitions=8
+    )
+    g_plain = Graph(derive_edges(t), num_partitions=8)
+    a = kbfs_exact(g_closed)  # dispatches to the closed kernel
+    b = kbfs_exact(g_plain, batch=64)
+    diff = (
+        a.withColumnRenamed("radius", "ra")
+        .join(b.withColumnRenamed("radius", "rb"), "id", "full_outer")
+        .where(
+            F.col("ra").isNull() | F.col("rb").isNull() | (F.col("ra") != F.col("rb"))
+        )
+        .count()
+    )
+    assert diff == 0
+    assert a.count() > 0
+    g_closed.unpersist()
+    g_plain.unpersist()
+
+
 def test_validate_closure(pair, spark):
     g_closed, g_plain = pair
     g_closed.validate_closure()  # conv-derived key: closed by construction
