@@ -179,6 +179,7 @@ def main() -> None:
         g = Graph(
             derive_edges(transcripts, closure_key=True),
             closure_key="ckey",
+            validated_closure=True,
             num_partitions=CPUS,
         )
         m = g.m  # materializes the closed edge table (untimed warmup)
@@ -207,25 +208,33 @@ def main() -> None:
                 _unp_pr(wu_pr)
             except Exception as exc:  # warmup must never abort the bench
                 print(f"[bench] pagerank warmup failed: {exc}", file=sys.stderr)
-            pr_m = IterMetrics()
-            pr_res: list = []
+            pr_ms: list[IterMetrics] = []
 
             def _pr_trial():
-                r = pagerank(g, max_iters=PR_ITERS, metrics=pr_m)
+                # unpersist INSIDE the trial (like _lp_trial): a trial
+                # that leaves its persisted closed-kernel result cached
+                # lets the next trial plan-cache-match into a cache
+                # read — min-of-trials would time a cache hit (the LP
+                # bug of r04, ADVICE r04)
+                m_ = IterMetrics()
+                pr_ms.append(m_)
+                r = pagerank(g, max_iters=PR_ITERS, metrics=m_)
                 n_ = r.count()
-                pr_res.append(r)
+                _unp_pr(r)
                 return n_
 
-            timed("pagerank_transcripts", _pr_trial)
-            for r in pr_res:
-                _unp_pr(r)
+            timed("pagerank_transcripts", _pr_trial, trials=3)
             extras["pagerank_edges_per_sec"] = round(
                 m * PR_ITERS / timings["pagerank_transcripts"], 1
             )
-            # per-iteration walls: a degrading tail (vs uniform) is the
-            # signature of plan/lineage blowup, not compute
+            # per-iteration walls of the fastest trial: a degrading
+            # tail (vs uniform) is the signature of plan/lineage
+            # blowup, not compute
+            best_pr = min(
+                pr_ms, key=lambda m_: sum(r.get("wall_s", 0.0) for r in m_.rounds)
+            )
             extras["pagerank_iter_walls"] = [
-                round(r.get("wall_s", 0.0), 2) for r in pr_m.rounds
+                round(r.get("wall_s", 0.0), 2) for r in best_pr.rounds
             ]
         if _want("cc_transcripts"):
             from ligra_spark.algorithms._iter import IterMetrics
@@ -247,16 +256,22 @@ def main() -> None:
                 cc_contract_local(g).count()
             except Exception as exc:
                 print(f"[bench] cc warmup failed: {exc}", file=sys.stderr)
-            cc_m = IterMetrics()
-            timed(
-                "cc_transcripts",
-                lambda: cc_contract_local(g, metrics=cc_m).count(),
-            )
+            cc_ms: list[IterMetrics] = []
+
+            def _cct_trial():
+                m_ = IterMetrics()
+                cc_ms.append(m_)
+                return cc_contract_local(g, metrics=m_).count()
+
+            timed("cc_transcripts", _cct_trial, trials=3)
             extras["cc_edges_per_sec"] = round(m / timings["cc_transcripts"], 1)
+            best_cc = min(
+                cc_ms, key=lambda m_: sum(r.get("wall_s", 0.0) for r in m_.rounds)
+            )
             extras["cc_iter_walls"] = [
-                round(r.get("wall_s", 0.0), 2) for r in cc_m.rounds
+                round(r.get("wall_s", 0.0), 2) for r in best_cc.rounds
             ]
-            extras["cc_residuals"] = [r.get("residual") for r in cc_m.rounds]
+            extras["cc_residuals"] = [r.get("residual") for r in best_cc.rounds]
         if _want("lp_transcripts"):
             from ligra_spark.algorithms._iter import IterMetrics
 
@@ -317,16 +332,77 @@ def main() -> None:
         extras["rmat_triangles"] = tri
         rg.unpersist()
 
-    # ---- driver testdata graphs -------------------------------------------
-    if _want("pagerank_events") or _want("cc_events"):
-        ev = Graph(
-            edges_from_events(spark.read.parquet(f"{SF_DIR}/events.parquet")),
+    # ---- 10× closed-kernel input (VERDICT r04 item 8): one driver-
+    # harness row at a compute-dominated scale (~6M derived edges) so
+    # the closed path's edges/s claim is pinned by the authoritative
+    # artifact, not only bench_scaling. The transcripts table is
+    # generated once into a /tmp parquet cache shared with
+    # bench_scaling (same path convention, keyed by n_conv).
+    if _want("pagerank_transcripts_10x"):
+        from ligra_spark.algorithms._iter import IterMetrics
+        from ligra_spark.algorithms._iter import unpersist as _unp_big
+
+        n_big = int(os.environ.get("SPARK_GRAFT_NCONV_BIG", "250000"))
+        big_pq = f"/tmp/ligra_bench_transcripts_{n_big}.parquet"
+        if not Path(big_pq).exists():
+            generate_transcripts(spark, n_big).write.mode("ignore").parquet(big_pq)
+        gb = Graph(
+            derive_edges(spark.read.parquet(big_pq), closure_key=True),
+            closure_key="ckey",
+            validated_closure=True,
             num_partitions=CPUS,
         )
+        extras["pagerank_10x_edges"] = gb.m
+        try:
+            wu = pagerank(gb, max_iters=5)
+            wu.count()
+            _unp_big(wu)
+        except Exception as exc:
+            print(f"[bench] pagerank_10x warmup failed: {exc}", file=sys.stderr)
+        big_ms: list[IterMetrics] = []
+
+        def _pr_big_trial():
+            m_ = IterMetrics()
+            big_ms.append(m_)
+            r = pagerank(gb, max_iters=PR_ITERS, metrics=m_)
+            n_ = r.count()
+            _unp_big(r)
+            return n_
+
+        timed("pagerank_transcripts_10x", _pr_big_trial, trials=3)
+        extras["pagerank_10x_edges_per_sec"] = round(
+            gb.m * PR_ITERS / timings["pagerank_transcripts_10x"], 1
+        )
+        best_big = min(
+            big_ms, key=lambda m_: sum(r.get("wall_s", 0.0) for r in m_.rounds)
+        )
+        extras["pagerank_10x_iter_walls"] = [
+            round(r.get("wall_s", 0.0), 2) for r in best_big.rounds
+        ]
+        gb.unpersist()
+
+    # ---- driver testdata graphs -------------------------------------------
+    if _want("pagerank_events") or _want("cc_events"):
+        # num_partitions="auto" (VERDICT r04 item 6): the events chains
+        # are ~100k edges — at 32 partitions every round pays scheduler
+        # fan-out for ~3k-row tasks; auto sizes to 16 here (measured:
+        # PR 11.4-13.8s → 7.2-8.0s, CC 15.9-27.5s → 5.9-6.3s), while
+        # any ≥256k-edge input still gets the full session parallelism
+        ev = Graph(
+            edges_from_events(spark.read.parquet(f"{SF_DIR}/events.parquet")),
+            num_partitions="auto",
+        )
         _ = ev.m
+        extras["events_partitions"] = ev.num_partitions
         if _want("pagerank_events"):
-            timed("pagerank_events", lambda: pagerank(ev, max_iters=PR_ITERS).count())
+            timed(
+                "pagerank_events",
+                lambda: pagerank(ev, max_iters=PR_ITERS).count(),
+                trials=3,
+            )
         if _want("cc_events"):
+            from ligra_spark.algorithms._iter import IterMetrics
+
             # untimed first run, same ligra.h:480 protocol (r04 spread
             # [13.9, 7.5, 6.8] — the hash-min loop's iterate/checkpoint
             # path pays one-time JIT on first execution)
@@ -334,11 +410,38 @@ def main() -> None:
                 connected_components(ev).count()
             except Exception as exc:
                 print(f"[bench] cc_events warmup failed: {exc}", file=sys.stderr)
-            timed("cc_events", lambda: connected_components(ev).count(), trials=3)
+            # per-round walls + frontier sizes recorded per trial
+            # (VERDICT r04 item 1): the r04 driver box measured
+            # [20.3, 54.7, 24.8] where two builder runs measured
+            # 6.9-9.5s — with walls in the artifact, a recurrence is
+            # attributable to specific rounds instead of mysterious
+            ccev_ms: list[IterMetrics] = []
+
+            def _ccev_trial():
+                m_ = IterMetrics()
+                ccev_ms.append(m_)
+                return connected_components(ev, metrics=m_).count()
+
+            timed("cc_events", _ccev_trial, trials=3)
+            if ccev_ms:
+                extras["cc_events_iter_walls_per_trial"] = [
+                    [round(r.get("wall_s", 0.0), 2) for r in m_.rounds]
+                    for m_ in ccev_ms
+                ]
+                extras["cc_events_frontiers"] = [
+                    r.get("frontier") for r in ccev_ms[0].rounds
+                ]
         ev.unpersist()
 
     # ---- training-data pipeline ops ----------------------------------------
     if _want("minhash_lsh_docs"):
+        # untimed warmup of THIS query's own path (banded equi-join +
+        # posting-list explode): the generic worker warmup doesn't
+        # cover it — r04 first trial was 11.0s vs 5.7s warm
+        try:
+            q_minhash_lsh_docs(spark, SF_DIR).count()
+        except Exception as exc:
+            print(f"[bench] minhash warmup failed: {exc}", file=sys.stderr)
         timed(
             "minhash_lsh_docs",
             lambda: q_minhash_lsh_docs(spark, SF_DIR).count(),

@@ -181,16 +181,7 @@ def pagerank_closed(
         (t + 1 for t in range(t_max) if glob_l1.get(t, 0.0) < tol), max_iters
     )
     wall = timer.lap()
-    if metrics is not None:
-        # the kernel fuses all rounds into ONE pass, so per-round walls
-        # are the pass wall amortized evenly (flagged fused=True — a
-        # "degrading tail" diagnostic cannot fire on these); recorded
-        # for ALL executed rounds so the walls sum to the measured wall
-        for t in range(rounds):
-            metrics.record(
-                t, l1=glob_l1.get(t, 0.0), wall_s=wall / max(rounds, 1),
-                edges=graph.m, fused=True,
-            )
+    replay_wall = None
     if rounds < t_max:
         # tolerance crossed before some partition's last executed round:
         # replay with exactly the converged round count (partitions at a
@@ -200,6 +191,34 @@ def pagerank_closed(
         out = edges.mapInArrow(
             _pr_kernel(n, damping, rounds), "id long, val double, it int"
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # replay wall measured here, lazy otherwise
+        replay_wall = timer.lap()
+    if metrics is not None:
+        # the kernel fuses all rounds into ONE pass, so per-round walls
+        # are the pass wall amortized evenly over the rounds ACTUALLY
+        # EXECUTED in that pass (t_max, not the converged `rounds` —
+        # ADVICE r04: amortizing over `rounds` overstated per-round
+        # cost); flagged fused=True so a "degrading tail" diagnostic
+        # cannot fire on these
+        per = wall / max(t_max, 1)
+        for t in range(rounds):
+            kv = dict(
+                l1=glob_l1.get(t, 0.0), wall_s=per, edges=graph.m, fused=True
+            )
+            if t == rounds - 1:
+                # exploratory rounds past convergence + the replay pass
+                # are real measured cost; carried as EXPLICIT fields on
+                # the final round (not an extra round entry — the round
+                # count is parity-pinned against the generic path), so
+                # sum(wall_s) + overshoot_wall_s + replay_wall_s equals
+                # the total measured wall
+                extra = wall - per * rounds
+                if extra > 1e-9:
+                    kv["overshoot_rounds"] = t_max - rounds
+                    kv["overshoot_wall_s"] = extra
+                if replay_wall is not None:
+                    kv["replay_wall_s"] = replay_wall
+            metrics.record(t, **kv)
     state = out.where(F.col("it") < 0).select(
         "id", F.col("val").alias("rank")
     )
@@ -464,7 +483,9 @@ def triangles_per_vertex_closed(graph) -> DataFrame:
     return edges.mapInArrow(_tri_kernel(True), "id long, triangles long")
 
 
-def eccentricity_closed(graph) -> DataFrame:
+def eccentricity_closed(
+    graph, metrics: IterMetrics | None = None
+) -> DataFrame:
     """``(id, radius INT)`` — EXACT per-vertex eccentricity over the
     symmetrized graph, one kernel pass.
 
@@ -544,9 +565,19 @@ def eccentricity_closed(graph) -> DataFrame:
             [pa.array(ids), pa.array(ecc, type=pa.int32())], ["id", "radius"]
         )
 
-    return graph.closed_edges.select("src", "dst").mapInArrow(
+    timer = Timer()
+    out = graph.closed_edges.select("src", "dst").mapInArrow(
         _ecc_kernel, "id long, radius int"
     )
+    if metrics is not None:
+        # one fused round recorded, like connected_components_closed:
+        # callers passing IterMetrics (kbfs_exact dispatch) must not
+        # silently get an empty rounds list (ADVICE r04)
+        from ligra_spark.algorithms._iter import materialize
+
+        out = materialize(out)
+        metrics.record(0, wall_s=timer.lap(), fused=True)
+    return out
 
 
 def label_propagation_closed(

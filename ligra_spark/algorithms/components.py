@@ -51,7 +51,14 @@ def connected_components(
 ) -> DataFrame:
     """Returns ``(id LONG, comp LONG)`` — comp = min id in component."""
     if jumps is None:
-        jumps = 1 if (shortcut or contract) else 0
+        # contract default 2 (was 1), measured on the sf0.1 events
+        # chains at local[32]: rounds 7→5 and wall 7.3→6.8s (jumps=3:
+        # 4 rounds / 6.1s but each hop is an extra vertex-sized
+        # materialization per round — on short-diameter graphs (rMat:
+        # 4 rounds at any jump count) extra hops are pure cost, so 2
+        # is the balance). shortcut stays 1 = Components-Shortcut.C
+        # parity.
+        jumps = (1 if shortcut else 2) if (shortcut or contract) else 0
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
 
     state = g.vertices.select("id", F.col("id").alias("comp"))

@@ -261,7 +261,7 @@ def kbfs_exact(
     if getattr(graph, "closed_edges", None) is not None:
         from ligra_spark.algorithms.closed import eccentricity_closed
 
-        return eccentricity_closed(graph)
+        return eccentricity_closed(graph, metrics=metrics)
     from math import ceil
 
     from pyspark.sql import Window

@@ -23,9 +23,32 @@ Vertex IDs are 64-bit longs (we target 10^12-turn scale; the reference's
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
+
+
+def _auto_partitions(m: int, cap: int) -> int:
+    """Partition count ∝ edge count, power-of-two, floor 8, capped at
+    the session's shuffle-partition setting.
+
+    Rationale (measured, sf0.1 events graph = 98.5k edges,
+    local[32]): at 32 partitions a ~100k-edge graph pays per-round
+    scheduler fan-out for ~3k-row tasks — CC ran 15.9-27.5s and
+    20-iteration PageRank 11.4-13.8s; at 16 partitions the same
+    queries ran 5.9-6.3s and 7.2-8.0s (8 partitions was slightly
+    worse again: 7.4-8.4s / 8.1-8.9s). ~8k edges/partition keeps
+    tasks large enough to amortize launch overhead while preserving
+    enough parallelism for the shuffle stages; big graphs hit the cap
+    and behave exactly as before. On a real cluster the cap is the
+    configured shuffle parallelism, so auto-sizing only ever *shrinks*
+    tiny inputs — it never under-partitions a 100 TB table."""
+    if m <= 0:
+        return 8
+    p = 1 << max(3, math.ceil(math.log2(m / 8192)))
+    return max(8, min(p, cap))
 
 
 class Graph:
@@ -40,6 +63,20 @@ class Graph:
         both directions), like Ligra's ``-s`` flag.
     dedupe : drop duplicate (src, dst) rows and self-loops, matching
         the simple-graph assumption of Triangle.C:25-28.
+    num_partitions : explicit partition count, ``None`` for the
+        session's shuffle-partition setting, or ``"auto"`` to size
+        partitions from the edge count (one extra count job at
+        construction; see ``_auto_partitions`` for the measured
+        rationale — small graphs otherwise pay per-round scheduler
+        fan-out for near-empty tasks).
+    validated_closure : a declared ``closure_key`` is validated at
+        construction (one endpoint-distinct pass) unless this is True
+        — a misdeclared key makes every partition-local kernel
+        (closed.py) **silently wrong**, so the unsafe path is opt-out,
+        not opt-in. In-repo derivations that are closed by
+        construction (``derive_edges``, ``edges_from_events``,
+        ``user_clique_edges``) pass True; at 100 TB callers validate
+        once and persist the flag with the table.
     """
 
     def __init__(
@@ -48,10 +85,11 @@ class Graph:
         *,
         symmetric: bool = False,
         dedupe: bool = False,
-        num_partitions: int | None = None,
+        num_partitions: int | str | None = None,
         persist: bool = True,
         truncate: bool | str = "auto",
         closure_key: str | None = None,
+        validated_closure: bool = False,
     ) -> None:
         self.spark: SparkSession = edges.sparkSession
         self.weighted = "w" in edges.columns
@@ -72,11 +110,11 @@ class Graph:
             )
         self.symmetric = symmetric
 
+        session_parts = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
         if num_partitions is None:
-            num_partitions = int(
-                self.spark.conf.get("spark.sql.shuffle.partitions", "32")
-            )
-        self.num_partitions = num_partitions
+            num_partitions = session_parts
 
         # Load-time lineage truncation (the analog of the reference
         # building its CSR once at load, IO.h:163-316): Catalyst
@@ -96,6 +134,15 @@ class Graph:
 
             edges = truncate_plan(edges)
             self._edges_ckpt = edges
+
+        self._n: int | None = None
+        self._m: int | None = None
+        if num_partitions == "auto":
+            # sized AFTER truncation so the count scans the checkpointed
+            # RDD, not the raw derivation; the count doubles as m
+            self._m = edges.count()
+            num_partitions = _auto_partitions(self._m, session_parts)
+        self.num_partitions = num_partitions
 
         # Declared partition closure (closed.py): repartitioning by the
         # closure key puts every vertex's ENTIRE neighborhood in one
@@ -143,8 +190,9 @@ class Graph:
 
         self._degrees: DataFrame | None = None
         self._vertices: DataFrame | None = None
-        self._n: int | None = None
-        self._m: int | None = None
+
+        if closure_key is not None and not validated_closure:
+            self.validate_closure()
 
     # -- vertex set -----------------------------------------------------
     @property
@@ -215,13 +263,14 @@ class Graph:
         edge set. A vertex whose edges span two closure groups would
         make every partition-local kernel (closed.py) **silently
         wrong** — each partition sees only part of its neighborhood —
-        so callers declaring a key they did not derive themselves
-        should validate once. The check is GROUP-level (distinct
-        (key, vertex) pairs vs distinct vertices), not partition-level:
-        two violating groups hashed into the same partition would hide
-        a partition-level count mismatch. Opt-in because the in-repo
-        derivations (conv_id over transcripts, user_id over event
-        chains) are closed by construction."""
+        so the constructor runs this automatically for any declared
+        key unless ``validated_closure=True`` was passed (the opt-out
+        for in-repo derivations that are closed by construction and
+        for 100 TB tables validated once up front). The check is
+        GROUP-level (distinct (key, vertex) pairs vs distinct
+        vertices), not partition-level: two violating groups hashed
+        into the same partition would hide a partition-level count
+        mismatch."""
         if self.closed_edges is None:
             raise ValueError("no closure key declared on this graph")
         k = self._closed_keyed

@@ -307,6 +307,7 @@ def _events_graph_closed(spark, sf_dir, partitions: int = 16) -> Graph:
     return Graph(
         edges_from_events(_events(spark, sf_dir), closure_key=True),
         closure_key="ckey",
+        validated_closure=True,
         num_partitions=partitions,
     )
 
@@ -338,6 +339,7 @@ def q_tri_closed_users(spark, sf_dir):
     g = Graph(
         user_clique_edges(_events(spark, sf_dir), closure_key=True),
         closure_key="ckey",
+        validated_closure=True,
         num_partitions=16,
     )
     return spark.createDataFrame([(triangle_count(g),)], "triangles long")
@@ -359,6 +361,7 @@ def q_tri_vertex_closed_users(spark, sf_dir):
     g = Graph(
         user_clique_edges(_events(spark, sf_dir), closure_key=True),
         closure_key="ckey",
+        validated_closure=True,
         num_partitions=16,
     )
     return triangles_per_vertex(g)
@@ -375,6 +378,83 @@ SELECT event_id AS id,
        CAST((c - 1) * (c - 2) / 2 AS BIGINT) AS triangles
 FROM r WHERE rn <= c AND c >= 2
 """
+
+
+def q_ecc_closed_users(spark, sf_dir):
+    """Exact per-vertex eccentricity via the closed all-sources-BFS
+    kernel (closed.py eccentricity_closed — ``kbfs_exact`` dispatches
+    there on closure-keyed graphs, VERDICT r04 item 3a): each user's
+    event chain is a path, so the eccentricity of the vertex at
+    0-based position ``i`` in an ``n``-vertex path is
+    ``max(i, n-1-i)`` — a closed-form oracle for the kernel's full
+    distance structure, cheap at any sf (no all-pairs CTE)."""
+    from ligra_spark.algorithms import kbfs_exact
+
+    return kbfs_exact(_events_graph_closed(spark, sf_dir))
+
+
+ECC_CLOSED_USERS_SQL = """
+WITH r AS (
+  SELECT event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT event_id AS id, CAST(GREATEST(i, n - 1 - i) AS INT) AS radius
+FROM r WHERE n >= 2
+"""
+
+
+def q_streaming_cc_replay(spark, sf_dir):
+    """Streaming incremental CC (streaming/components.py) driven
+    end-to-end (VERDICT r04 item 3b): the event-chain edges are split
+    into interleaved halves (every user's chain arrives as fragments
+    that only connect when the second half lands), written as files,
+    replayed through ``streaming_components`` micro-batches, and the
+    accumulated update-mode deltas folded into the final mapping —
+    which must equal batch CC over the union, i.e. the same
+    closed-form oracle as ``cc_events`` (min event id per user)."""
+    import shutil
+    import tempfile
+
+    from ligra_spark.streaming import streaming_components
+
+    edges = edges_from_events(_events(spark, sf_dir), closure_key=True)
+    w = Window.partitionBy("ckey").orderBy("src")
+    ranked = edges.withColumn("rn", F.row_number().over(w))
+    tmp = tempfile.mkdtemp(prefix="ligra_stream_replay_")
+    try:
+        for i in range(2):
+            ranked.where(F.col("rn") % 2 == i).select(
+                "src", "dst", "ckey"
+            ).coalesce(2).write.parquet(f"{tmp}/in/b{i}")
+        stream = (
+            spark.readStream.schema("src long, dst long, ckey long")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(f"{tmp}/in/*")
+        )
+        final: dict[int, int] = {}
+
+        def _acc(df, _eid):
+            for r in df.collect():
+                final[r.id] = r.comp
+
+        q = (
+            streaming_components(stream)
+            .writeStream.foreachBatch(_acc)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            sorted(final.items()), "id long, comp long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -2640,12 +2720,44 @@ HYPER_BPATH_SQL = _hyper_bpath_sql()
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry order is coverage-priority order: the driver's
     # correctness gate caps at 50 entries per round, so the entries
-    # with the STALEST driver-green row run first. Rotation r04: the
-    # 21 entries the r03 gate did not reach (hyper tail ×7, docs
-    # text/dedup ×11, tri_vertex, the two pagerank iter1 variants)
-    # lead; everything freshly green in CORRECTNESS_r03 closes the
-    # list, ordered r03-covered-first so a 50-cap still reaches 21+29.
-    # --- stale since r02 (green there; no r03 row) ---
+    # with the STALEST driver-green row run first. Rotation r05
+    # (VERDICT r04 item 2): the 2 r05-new entries lead, then the 27
+    # entries whose last driver row is CORRECTNESS_r03 (the r04 gate's
+    # tail), then the 50 freshly green in CORRECTNESS_r04 — a 50-cap
+    # reaches 2 + 27 + 21, so every entry has a driver row within the
+    # last two rounds.
+    # --- new in r05 — never driver-covered ---
+    "ecc_closed_users": q_ecc_closed_users,
+    "streaming_cc_replay": q_streaming_cc_replay,
+    # --- last green in CORRECTNESS_r03 (stale two rounds) ---
+    "pagerank_iter1_events": q_pagerank_iter1_events,
+    "pagerank_events": q_pagerank_events,
+    "triangles_types": q_triangles_types,
+    "bfs_types": q_bfs_types,
+    "lp_events": q_lp_events,
+    "kcore_types": q_kcore_types,
+    "bc_mod": q_bc_mod,
+    "bellman_ford_mod": q_bellman_ford_mod,
+    "sssp_delta_mod": q_sssp_delta_mod,
+    "kcore_mod": q_kcore_mod,
+    "kcore_bucketed_mod": q_kcore_bucketed_mod,
+    "mis_mod": q_mis_mod,
+    "radii_mod": q_radii_mod,
+    "kbfs_ecc_mod": q_kbfs_ecc_mod,
+    "tk_ecc_mod": q_tk_ecc_mod,
+    "rv_ecc_mod": q_rv_ecc_mod,
+    "clrstv_ecc_mod": q_clrstv_ecc_mod,
+    "fm_ecc_mod": q_fm_ecc_mod,
+    "cf_iter1_mod": q_cf_iter1_mod,
+    "setcover_mod": q_setcover_mod,
+    "ppr_acl_mod": q_ppr_acl_mod,
+    "nibble_mod": q_nibble_mod,
+    "heat_kernel_mod": q_heat_kernel_mod,
+    "simple_ecc_mod": q_simple_ecc_mod,
+    "loglog_ecc_mod": q_loglog_ecc_mod,
+    "hyper_bfs_events": q_hyper_bfs_events,
+    "hyper_cc_events": q_hyper_cc_events,
+    # --- freshly green in CORRECTNESS_r04 ---
     "hyper_pagerank_events": q_hyper_pagerank_events,
     "hyper_sssp_events": q_hyper_sssp_events,
     "hyper_kcore_events": q_hyper_kcore_events,
@@ -2667,18 +2779,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_jaccard_docs": q_lsh_jaccard_docs,
     "simhash_docs": q_simhash_docs,
     "simhash_pairs_docs": q_simhash_pairs_docs,
-    # --- new in r04 — never driver-covered ---
     "kcore_mid": q_kcore_mid,
     "heat_kernel_rand_mod": q_heat_kernel_rand_mod,
     "pagerank_closed_events": q_pagerank_closed_events,
     "lp_closed_events": q_lp_closed_events,
     "tri_closed_users": q_tri_closed_users,
     "tri_vertex_closed_users": q_tri_vertex_closed_users,
-    # --- freshly green in CORRECTNESS_r03 ---
     "dedup_clusters_docs": q_dedup_clusters_docs,
     "kbfs_1phase_ecc_mod": q_kbfs_1phase_ecc_mod,
     "kbfs_2phase_ecc_mod": q_kbfs_2phase_ecc_mod,
-    # mid-size fixture (new in r03 — never driver-covered)
     "cc_mid": q_cc_mid,
     "cc_local_mid": q_cc_local_mid,
     "cc_local_events": q_cc_local_events,
@@ -2695,40 +2804,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk": q_ivf_topk,
     "embedding_dups": q_embedding_dups,
     "lsh_topk": q_lsh_topk,
-    # graph engine over events-derived edge table
     "edges_events": q_edges_events,
     "degrees_events": q_degrees_events,
     "cc_events": q_cc_events,
     "bfscc_mod": q_bfscc_mod,
-    "pagerank_iter1_events": q_pagerank_iter1_events,
-    "pagerank_events": q_pagerank_events,
-    "triangles_types": q_triangles_types,
-    "bfs_types": q_bfs_types,
-    "lp_events": q_lp_events,
-    "kcore_types": q_kcore_types,
-    # traversal apps over the mod-graph fixture
-    "bc_mod": q_bc_mod,
-    "bellman_ford_mod": q_bellman_ford_mod,
-    "sssp_delta_mod": q_sssp_delta_mod,
-    "kcore_mod": q_kcore_mod,
-    "kcore_bucketed_mod": q_kcore_bucketed_mod,
-    "mis_mod": q_mis_mod,
-    "radii_mod": q_radii_mod,
-    "kbfs_ecc_mod": q_kbfs_ecc_mod,
-    "tk_ecc_mod": q_tk_ecc_mod,
-    "rv_ecc_mod": q_rv_ecc_mod,
-    "clrstv_ecc_mod": q_clrstv_ecc_mod,
-    "fm_ecc_mod": q_fm_ecc_mod,
-    "cf_iter1_mod": q_cf_iter1_mod,
-    "setcover_mod": q_setcover_mod,
-    "ppr_acl_mod": q_ppr_acl_mod,
-    "nibble_mod": q_nibble_mod,
-    "heat_kernel_mod": q_heat_kernel_mod,
-    "simple_ecc_mod": q_simple_ecc_mod,
-    "loglog_ecc_mod": q_loglog_ecc_mod,
-    # hypergraph family head (r03-covered; rest of family leads the list)
-    "hyper_bfs_events": q_hyper_bfs_events,
-    "hyper_cc_events": q_hyper_cc_events,
 }
 
 
@@ -2788,6 +2867,8 @@ def _isolated(fn):
 QUERIES = {name: _isolated(fn) for name, fn in QUERIES.items()}
 
 ORACLE_SQL: dict[str, str] = {
+    "ecc_closed_users": ECC_CLOSED_USERS_SQL,
+    "streaming_cc_replay": CC_EVENTS_SQL,
     "cc_mid": CC_MID_SQL,
     "cc_local_mid": CC_MID_SQL,
     "cc_local_events": CC_EVENTS_SQL,

@@ -290,7 +290,14 @@ def test_validate_closure(pair, spark):
         [(i, i + 1, (i + 1) % 2) for i in range(10)],
         "src long, dst long, ckey long",
     )
-    bad = Graph(edges, closure_key="ckey", num_partitions=4)
+    # ... at CONSTRUCTION by default (r04 advice: a misdeclared key
+    # silently corrupts every closed kernel, so validation is opt-out)
+    with pytest.raises(ValueError, match="does not close"):
+        Graph(edges, closure_key="ckey", num_partitions=4)
+    # opt-out path defers to the explicit call
+    bad = Graph(
+        edges, closure_key="ckey", num_partitions=4, validated_closure=True
+    )
     with pytest.raises(ValueError, match="does not close"):
         bad.validate_closure()
     bad.unpersist()

@@ -242,6 +242,7 @@ def test_streaming_components_incremental(spark, tmp_path):
     g = Graph(
         spark.createDataFrame(b1 + b2, schema),
         closure_key="ckey",
+        validated_closure=True,
         num_partitions=4,
     )
     want = {r.id: r.comp for r in cc_contract_local(g).collect()}

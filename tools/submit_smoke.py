@@ -46,6 +46,7 @@ def main() -> None:
     gc_ = Graph(
         derive_edges(transcripts, closure_key=True),
         closure_key="ckey",
+        validated_closure=True,
         num_partitions=8,
     )
     pr_closed = pagerank(gc_, max_iters=1)
