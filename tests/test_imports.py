@@ -40,3 +40,17 @@ def test_cold_import(mod):
         timeout=120,
     )
     assert proc.returncode == 0, f"import {mod} failed cold:\n{proc.stderr}"
+
+
+def test_auto_partitions_sizing():
+    """num_partitions="auto" sizes ∝ edges: floor 8, pow2 steps,
+    capped at the session shuffle-partition count (the measured
+    right-sizing rationale lives in graph._auto_partitions)."""
+    from ligra_spark.graph import _auto_partitions
+
+    assert _auto_partitions(0, 32) == 8
+    assert _auto_partitions(1_000, 32) == 8
+    assert _auto_partitions(98_500, 32) == 16  # the sf0.1 events graph
+    assert _auto_partitions(486_000, 32) == 32  # capped at the session
+    assert _auto_partitions(10**9, 32) == 32
+    assert _auto_partitions(10**9, 256) == 256
