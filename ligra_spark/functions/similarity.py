@@ -205,6 +205,7 @@ def cosine_topk_kernel(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    _reduce: str = "window",
 ) -> DataFrame:
     """Exact top-k via an Arrow-batched numpy matmul kernel
     (``mapInArrow``) — the high-throughput variant of ``cosine_topk``.
@@ -217,11 +218,27 @@ def cosine_topk_kernel(
     so it scales past single-JVM allocation/GC limits.
 
     The Arrow list column is flattened into ONE ``(rows, dim)`` ndarray
-    per batch (a single vectorized ``astype`` of the values buffer) —
+    per batch (a single vectorized reshape of the values buffer) —
     never a Python list-of-rows materialization, which round 2 measured
     as 4× the BLAS time. Outputs leave as Arrow record batches, and the
     per-query candidate selection is fully vectorized
-    (``argpartition`` + ``take_along_axis``)."""
+    (``argpartition`` + ``take_along_axis``).
+
+    The scan runs in **float32** (the storage dtype): SGEMM moves half
+    the bytes and retires twice the FLOPs/cycle of the old float64
+    scan, which at 32 concurrent workers was memory-bandwidth-bound
+    (r04: 8→32-core scaling efficiency 0.79; the raw kernel measured
+    0.62 at equal splits with 1.6× straggler spread, vs 0.75 and 1.3×
+    in float32). Exactness is preserved by a margin + rescore step:
+    each partition keeps its top ``k + margin`` candidate ROWS per
+    query by float32 sim, then recomputes exact float64 cosines for
+    just those ``O(Q·(k+margin))`` candidates and emits its true
+    float64 top-k. A float32 scan mis-orders only candidates whose
+    true sims differ by ≲ √dim·2⁻²³·‖q‖‖c‖ (~1e-6 here), so the exact
+    top-k escapes the margin set only if > ``margin`` corpus vectors
+    tie the kth sim within that width — for real-valued embeddings
+    that is measure-zero; the driver oracle (`ann_topk_kernel`)
+    verifies it end-to-end against DuckDB float64 every round."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql import Window
@@ -233,31 +250,41 @@ def cosine_topk_kernel(
     q_norm[q_norm == 0] = 1.0
     q_mat /= q_norm[:, None]  # normalize the INPUTS once: no outer-
     # product normalization matrix materializes on the workers
+    q32 = q_mat.astype(np.float32)
     q_order = np.argsort(q_ids)
     q_sorted = q_ids[q_order]
 
-    # Per-block working set: the sims tile is (QCHUNK, BLOCK) float64 =
-    # 4 MiB — small enough that the tile + its argpartition index stay
-    # in shared L3 across 32 concurrent workers (a full (Q, BLOCK)
-    # 32 MiB tile measured ~1.4x slower under contention), and small
-    # enough that no temp crosses glibc's mmap threshold.
-    BLOCK = 2048
-    QCHUNK = 256
+    # Per-block working set: the sims tile is (QCHUNK, BLOCK) float32 —
+    # small enough that the tile + its argpartition index stay in
+    # shared L3 across 32 concurrent workers (a full (Q, BLOCK)
+    # tile measured ~1.4x slower under contention), and small enough
+    # that no temp crosses glibc's mmap threshold. Env-overridable for
+    # tile-size scaling experiments (bench_scaling / profiling).
+    import os as _os
+
+    BLOCK = int(_os.environ.get("LIGRA_ANN_BLOCK", "2048"))
+    QCHUNK = int(_os.environ.get("LIGRA_ANN_QCHUNK", "256"))
+    MARGIN = int(_os.environ.get("LIGRA_ANN_MARGIN", "11"))
 
     def kernel(batches):
         Q = len(q_ids)
-        best_s = np.full((Q, k), -np.inf)
-        best_n = np.full((Q, k), -1, dtype=np.int64)
-        sims_buf = np.empty((QCHUNK, BLOCK))
+        kk = k + MARGIN  # float32 candidate slots per query
+        best_s = np.full((Q, kk), -np.inf, dtype=np.float32)
+        # global row position within this partition (batches retained
+        # below); -1 = empty slot
+        best_p = np.full((Q, kk), -1, dtype=np.int64)
+        sims_buf = np.empty((QCHUNK, BLOCK), dtype=np.float32)
+        kept_ids: list[np.ndarray] = []
+        kept_mat: list[np.ndarray] = []
 
-        def fold(ids, mat):
-            norms = np.linalg.norm(mat, axis=1)
+        def fold(ids, mat, pos0):
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
             norms[norms == 0] = 1.0
             # (dim, nb) contiguous once per block: every query-chunk
             # matmul reads the same BLAS-friendly operand
             nblk = np.ascontiguousarray((mat / norms[:, None]).T)
             nb = nblk.shape[1]
-            top = min(k, nb)
+            top = min(kk, nb)
             # self-match masking in O(matches), not an n×Q bool mask;
             # left/right searchsorted covers DUPLICATE query ids (every
             # query row sharing the corpus id is masked, not just the
@@ -275,13 +302,14 @@ def cosine_topk_kernel(
                 mask_c = np.repeat(hit, cnt)
             else:
                 mask_q = mask_c = None
+            pos = pos0 + np.arange(nb, dtype=np.int64)
             for q0 in range(0, Q, QCHUNK):
                 q1 = min(q0 + QCHUNK, Q)
                 if q1 - q0 == QCHUNK and nb == BLOCK:
                     sims = sims_buf  # steady-state: zero allocation
                 else:
-                    sims = np.empty((q1 - q0, nb))
-                np.dot(q_mat[q0:q1], nblk, out=sims)
+                    sims = np.empty((q1 - q0, nb), dtype=np.float32)
+                np.dot(q32[q0:q1], nblk, out=sims)
                 if mask_q is not None:
                     sel = (mask_q >= q0) & (mask_q < q1)
                     if sel.any():
@@ -292,43 +320,71 @@ def cosine_topk_kernel(
                     [best_s[q0:q1], np.take_along_axis(sims, idx, axis=1)],
                     axis=1,
                 )
-                cand_n = np.concatenate([best_n[q0:q1], ids[idx]], axis=1)
-                keep = np.argpartition(-cand_s, k - 1, axis=1)[:, :k]
+                cand_p = np.concatenate([best_p[q0:q1], pos[idx]], axis=1)
+                keep = np.argpartition(-cand_s, kk - 1, axis=1)[:, :kk]
                 best_s[q0:q1] = np.take_along_axis(cand_s, keep, axis=1)
-                best_n[q0:q1] = np.take_along_axis(cand_n, keep, axis=1)
+                best_p[q0:q1] = np.take_along_axis(cand_p, keep, axis=1)
 
-        seen = False
+        base = 0
         for batch in batches:
             n_rows = batch.num_rows
             if n_rows == 0:
                 continue
-            seen = True
             ids_all = batch.column(0).to_numpy(zero_copy_only=False).astype(
                 np.int64, copy=False
             )
-            # flatten() applies the list offsets; float32 values buffer →
-            # one float64 block, reshaped as a view
+            # flatten() applies the list offsets; the float32 values
+            # buffer reshapes as a view — the scan never copies to f64
             mat_all = (
                 batch.column(1)
                 .flatten()
                 .to_numpy(zero_copy_only=False)
-                .astype(np.float64, copy=False)
+                .astype(np.float32, copy=False)
                 .reshape(n_rows, -1)
             )
+            # retained for the rescore gather: Arrow-backed views, so
+            # this holds exactly the partition's own batches (the same
+            # data the task streamed in; bounded by maxPartitionBytes)
+            kept_ids.append(ids_all)
+            kept_mat.append(mat_all)
             for lo in range(0, n_rows, BLOCK):
-                fold(ids_all[lo : lo + BLOCK], mat_all[lo : lo + BLOCK])
-        if not seen:
+                fold(
+                    ids_all[lo : lo + BLOCK],
+                    mat_all[lo : lo + BLOCK],
+                    base + lo,
+                )
+            base += n_rows
+        if not kept_ids:
             return
-        # slot validity tracked by score, not an id sentinel: -1 is a
-        # legitimate neighbor id, while -inf can only mean "slot never
-        # filled" or "self-masked" (cosine sims are finite) — ADVICE r03
-        live = best_s > -np.inf  # queries may see < k rows in this partition
-        out_q = np.repeat(q_ids, k)[live.ravel()]
+        all_ids = kept_ids[0] if len(kept_ids) == 1 else np.concatenate(kept_ids)
+        all_mat = kept_mat[0] if len(kept_mat) == 1 else np.vstack(kept_mat)
+        # ---- exact float64 rescore of the margin set ----
+        # slot validity tracked by position (-1 = never filled or
+        # self-masked); scores are recomputed so float32 error never
+        # reaches the emitted ordering
+        live = best_p >= 0
+        flat_p = best_p[live]
+        vecs = all_mat[flat_p].astype(np.float64)
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = 1.0
+        qi = np.repeat(np.arange(len(q_ids)), kk)[live.ravel()]
+        exact = np.einsum("ij,ij->i", q_mat[qi], vecs) / vn
+        ex_s = np.full((Q, kk), -np.inf)
+        ex_s[live] = exact
+        ex_n = np.full((Q, kk), np.iinfo(np.int64).max, dtype=np.int64)
+        ex_n[live] = all_ids[flat_p]
+        # true per-partition top-k by (sim desc, neighbor_id asc) —
+        # the same total order the global window reduce applies
+        order = np.lexsort((ex_n, -ex_s), axis=1)[:, :k]
+        out_s = np.take_along_axis(ex_s, order, axis=1)
+        out_n = np.take_along_axis(ex_n, order, axis=1)
+        out_live = out_s > -np.inf  # queries may see < k rows here
+        out_q = np.repeat(q_ids, k)[out_live.ravel()]
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(out_q, type=pa.int64()),
-                pa.array(best_n[live], type=pa.int64()),
-                pa.array(best_s[live], type=pa.float64()),
+                pa.array(out_n[out_live], type=pa.int64()),
+                pa.array(out_s[out_live], type=pa.float64()),
             ],
             names=["query_id", "neighbor_id", "sim"],
         )
@@ -336,6 +392,8 @@ def cosine_topk_kernel(
     candidates = corpus.select(id_col, vec_col).mapInArrow(
         kernel, "query_id long, neighbor_id long, sim double"
     )
+    if _reduce == "none":  # candidate stream, for profiling/custom merge
+        return candidates
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
