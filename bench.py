@@ -59,6 +59,7 @@ from ligra_spark.session import get_spark  # noqa: E402
 from ligra_spark.sources import derive_edges, generate_transcripts  # noqa: E402
 from ligra_spark.sources.events import edges_from_events  # noqa: E402
 from ligra_spark.sources.rmat import rmat_graph_df  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -331,6 +332,57 @@ def main() -> None:
         tri = timed("triangle_rmat", lambda: triangle_count(rg), trials=3)
         extras["rmat_triangles"] = tri
         rg.unpersist()
+
+    # ---- generic-path PageRank on the transcript graph (ADVICE r04:
+    # report the generic shuffling engine's scaling efficiency
+    # ALONGSIDE the closed-kernel numbers, not averaged into them).
+    # Opt-in (must be named in SPARK_GRAFT_ONLY — bench_scaling adds
+    # it): same derived edge table as the closed queries but the Graph
+    # is built WITHOUT the closure key, so PageRank takes the generic
+    # one-message-shuffle-per-round SpMV path. A deterministic quarter
+    # of the conversations keeps the generic run (~2 orders slower
+    # per edge on one box) inside the trial budget; the edge count is
+    # reported so efficiency is computed per-edge either way.
+    if ONLY and "pagerank_generic_transcripts" in ONLY:
+        from ligra_spark.algorithms._iter import IterMetrics
+        from ligra_spark.algorithms._iter import unpersist as _unp_gen
+
+        n_conv = int(N_CONV) if N_CONV else max(200, int(200_000 * sf))
+        pq = os.environ.get("SPARK_GRAFT_TRANSCRIPTS_PARQUET")
+        tr = (
+            spark.read.parquet(pq) if pq else generate_transcripts(spark, n_conv)
+        )
+        tr = tr.where(F.crc32(F.col("conv_id").cast("string")) % 4 == 0)
+        gg = Graph(derive_edges(tr), num_partitions=CPUS)
+        m_gen = gg.m
+        extras["pagerank_generic_edges"] = m_gen
+        try:
+            wu = pagerank(gg, max_iters=2)
+            wu.count()
+            _unp_gen(wu)
+        except Exception as exc:
+            print(f"[bench] pagerank_generic warmup failed: {exc}", file=sys.stderr)
+        gen_ms: list[IterMetrics] = []
+
+        def _pr_gen_trial():
+            m_ = IterMetrics()
+            gen_ms.append(m_)
+            r = pagerank(gg, max_iters=PR_ITERS, metrics=m_)
+            n_ = r.count()
+            _unp_gen(r)
+            return n_
+
+        timed("pagerank_generic_transcripts", _pr_gen_trial, trials=3)
+        extras["pagerank_generic_edges_per_sec"] = round(
+            m_gen * PR_ITERS / timings["pagerank_generic_transcripts"], 1
+        )
+        best_gen = min(
+            gen_ms, key=lambda m_: sum(r.get("wall_s", 0.0) for r in m_.rounds)
+        )
+        extras["pagerank_generic_iter_walls"] = [
+            round(r.get("wall_s", 0.0), 2) for r in best_gen.rounds
+        ]
+        gg.unpersist()
 
     # ---- 10× closed-kernel input (VERDICT r04 item 8): one driver-
     # harness row at a compute-dominated scale (~6M derived edges) so

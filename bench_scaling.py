@@ -40,12 +40,25 @@ SCALING_QUERIES = (
     "lp_transcripts",
     "ann_kernel",
 )
+# run and report alongside, but NOT folded into the headline mean: the
+# north rule's efficiency criterion names PageRank+CC on the
+# transcript-derived graph (the closure-key path IS the engine's path
+# for that input); the generic shuffling path's own efficiency is
+# reported uncounted (*) so both regimes stay visible (ADVICE r04)
+EXTRA_QUERIES = (
+    "pagerank_generic_transcripts",
+)
 
 
 TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
 
 
-N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "250000"))
+# 1M conversations ≈ 24.36M derived edges — the r04 protocol's input,
+# sized so the CLOSED kernels are compute-dominated at local[32] (at
+# 250k/6M edges their jobs are ~1.5s and the measurement is all
+# scheduler floor: measured mean efficiency collapses to 0.37 with
+# identical walls at both levels)
+N_CONV = int(os.environ.get("SPARK_GRAFT_NCONV", "1000000"))
 # path keyed by size: a cached table from a previous run at a different
 # NCONV must never be silently reused
 TRANSCRIPTS_PQ = f"/tmp/ligra_bench_transcripts_{N_CONV}.parquet"
@@ -106,7 +119,7 @@ def _one_trial(cpus: int) -> dict:
         SPARK_GRAFT_ANN_N=os.environ.get("SPARK_GRAFT_ANN_N", "400000"),
         SPARK_GRAFT_ANN_Q=os.environ.get("SPARK_GRAFT_ANN_Q", "2000"),
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
-        SPARK_GRAFT_ONLY=",".join(SCALING_QUERIES),
+        SPARK_GRAFT_ONLY=",".join(SCALING_QUERIES + EXTRA_QUERIES),
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
@@ -146,6 +159,7 @@ _ITER_WALLS = {
     "pagerank_transcripts": "pagerank_iter_walls",
     "cc_transcripts": "cc_iter_walls",
     "lp_transcripts": "lp_iter_walls",
+    "pagerank_generic_transcripts": "pagerank_generic_iter_walls",
 }
 
 
@@ -211,6 +225,11 @@ def _best(trials: list[dict]) -> dict:
         # orientation — matches bench.py's definition
         best["extras"]["cc_edges_per_sec"] = round(
             m / best["queries"]["cc_transcripts"], 1
+        )
+    mg = best["extras"].get("pagerank_generic_edges")
+    if mg and "pagerank_generic_transcripts" in best["queries"]:
+        best["extras"]["pagerank_generic_edges_per_sec"] = round(
+            mg * 10 / best["queries"]["pagerank_generic_transcripts"], 1
         )
     return best
 
@@ -286,7 +305,11 @@ def _report(results) -> None:
             f"| {q}{mark} | {t8:.2f} | {t32:.2f} | {speed:.2f}× | {eff:.2f} |"
         )
     # edges/sec throughput form of the headline metric
-    for key in ("pagerank_edges_per_sec", "cc_edges_per_sec"):
+    for key in (
+        "pagerank_edges_per_sec",
+        "cc_edges_per_sec",
+        "pagerank_generic_edges_per_sec",
+    ):
         e8 = results[n]["extras"].get(key)
         e32 = results[n4]["extras"].get(key)
         if e8 and e32:
