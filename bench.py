@@ -529,12 +529,26 @@ def main() -> None:
                     }
                 )
 
-        emb = (
-            spark.range(0, ann_n, 1, CPUS)
-            .mapInPandas(gen_vecs, "vec_id long, embedding array<float>")
-            .cache()
-        )
-        emb.count()
+        # The corpus feeds the scan from PARQUET, not a DataFrame
+        # cache: the InMemoryRelation → Arrow conversion measured
+        # ~0.9 s/25k-row task (the kernel's own fold is 0.33 s), while
+        # the parquet vectorized reader hands the Arrow UDF columnar
+        # batches nearly for free — and disk-resident parquet is the
+        # honest 100-TB shape for a corpus anyway. Feed granularity is
+        # CPUS×4 files (LIGRA_ANN_FEED_MULT): with per-task fixed cost
+        # now small, 4 waves of work-stealing absorb the host's
+        # bimodal-vCPU straggler effect that a 1-task-per-core barrier
+        # is fully exposed to (BENCH.md r05 note).
+        ann_mult = int(os.environ.get("LIGRA_ANN_FEED_MULT", "4"))
+        ann_pq = f"/tmp/ligra_ann_{ann_n}_{dim}_{CPUS}x{ann_mult}.parquet"
+        if not os.path.exists(ann_pq):
+            (
+                spark.range(0, ann_n, 1, CPUS * ann_mult)
+                .mapInPandas(gen_vecs, "vec_id long, embedding array<float>")
+                .write.parquet(ann_pq)
+            )
+        emb = spark.read.parquet(ann_pq)
+        # rowgroup min/max stats prune the query-set scan to ~1 file
         qs = emb.where(f"vec_id < {ann_q}")
         # untimed warmup of this query's exact BLAS/Arrow/window path
         # at FULL buffer shape on EVERY worker: r03's tiny warmup
@@ -543,10 +557,13 @@ def main() -> None:
         # first-fault only at real shape. `vec_id % 6` keeps ~1 block
         # per partition (spark.range splits contiguously, so a `< n`
         # prefix filter would warm only the first few partitions).
-        cosine_topk_kernel(emb.where("vec_id % 6 = 0"), qs, k=5).count()
+        # warmup IS the timed plan (full parquet scan → kernel): with
+        # the parquet feed a filtered warmup leaves the no-filter scan
+        # plan cold (JIT + page-cache) and the first trial 3-4× slow
+        cosine_topk_kernel(emb, qs, k=5).count()
         timed("ann_kernel", lambda: cosine_topk_kernel(emb, qs, k=5).count(), trials=3)
         extras["ann_kernel_vectors"] = ann_n
-        emb.unpersist()
+        extras["ann_feed_files"] = CPUS * ann_mult
 
     total = round(sum(timings.values()), 3)
     print(

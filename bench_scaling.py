@@ -116,7 +116,14 @@ def _one_trial(cpus: int) -> dict:
         # would on a real cluster at 10^9+ edges
         SPARK_GRAFT_NCONV=str(N_CONV),
         SPARK_GRAFT_PR_ITERS="10",
-        SPARK_GRAFT_ANN_N=os.environ.get("SPARK_GRAFT_ANN_N", "400000"),
+        # 1.6M vectors (819 GFLOP of scan): the r04 400k input is
+        # ~1.4s at 16+ cores after the r05 element-prune + parquet
+        # feed — fixed per-job cost (~0.2s: query collect, two job
+        # launches, candidate reduce) would be 15% of the wall and the
+        # ratio would measure overhead, not the kernel (same reasoning
+        # as N_CONV=1M above). ANN_Q stays 2000 so only corpus size,
+        # i.e. per-level compute, grows.
+        SPARK_GRAFT_ANN_N=os.environ.get("SPARK_GRAFT_ANN_N", "1600000"),
         SPARK_GRAFT_ANN_Q=os.environ.get("SPARK_GRAFT_ANN_Q", "2000"),
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         SPARK_GRAFT_ONLY=",".join(SCALING_QUERIES + EXTRA_QUERIES),
