@@ -510,7 +510,7 @@ def main() -> None:
         import numpy as np
         import pandas as pd
 
-        from ligra_spark.functions.similarity import cosine_topk_kernel
+        from ligra_spark.functions.similarity import cosine_topk_parquet
 
         ann_n = int(os.environ.get("SPARK_GRAFT_ANN_N", max(20_000, int(4_000_000 * sf))))
         ann_q = int(os.environ.get("SPARK_GRAFT_ANN_Q", max(100, ann_n // 200)))
@@ -560,8 +560,18 @@ def main() -> None:
         # warmup IS the timed plan (full parquet scan → kernel): with
         # the parquet feed a filtered warmup leaves the no-filter scan
         # plan cold (JIT + page-cache) and the first trial 3-4× slow
-        cosine_topk_kernel(emb, qs, k=5).count()
-        timed("ann_kernel", lambda: cosine_topk_kernel(emb, qs, k=5).count(), trials=3)
+        # storage-direct scan (cosine_topk_parquet): workers read the
+        # corpus files with pyarrow locally — the JVM→Python Arrow IPC
+        # copy of the embedding column (measured 1.2-2.7 s at 1.6M×128,
+        # vs 0.15 s for the JVM-side scan itself) never happens; path
+        # parity vs cosine_topk_kernel and the zip_with reference is
+        # pytest-pinned (tests/test_similarity.py)
+        cosine_topk_parquet(ann_pq, qs, k=5).count()
+        timed(
+            "ann_kernel",
+            lambda: cosine_topk_parquet(ann_pq, qs, k=5).count(),
+            trials=3,
+        )
         extras["ann_kernel_vectors"] = ann_n
         extras["ann_feed_files"] = CPUS * ann_mult
 

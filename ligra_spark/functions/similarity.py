@@ -199,6 +199,194 @@ def lsh_bucket_topk(
     )
 
 
+def _scan_partition(batches, qarrs, k, margin, block, qchunk):
+    """Scan one partition's Arrow batches against the query set and
+    yield its exact float64 top-k candidates — the shared kernel body
+    behind ``cosine_topk_kernel`` (JVM-fed batches) and
+    ``cosine_topk_parquet`` (worker-local pyarrow parquet reads).
+    ``qarrs`` is the (q_ids, q_mat, q32, q_order, q_sorted) tuple a
+    caller ships via Spark broadcast."""
+    import numpy as np
+    import pyarrow as pa
+
+    q_ids, q_mat, q32, q_order, q_sorted = qarrs
+    Q = len(q_ids)
+    kk = k + margin  # float32 candidate slots per query
+    best_s = np.full((Q, kk), -np.inf, dtype=np.float32)
+    # global row position within this partition (batches retained
+    # below); -1 = empty slot
+    best_p = np.full((Q, kk), -1, dtype=np.int64)
+    sims_buf = np.empty((qchunk, block), dtype=np.float32)
+    mask_buf = np.empty((qchunk, block), dtype=bool)
+    kept_ids: list[np.ndarray] = []
+    kept_mat: list[np.ndarray] = []
+
+    def fold(ids, mat, pos0):
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        norms[norms == 0] = 1.0
+        # (dim, nb) contiguous once per block: every query-chunk
+        # matmul reads the same BLAS-friendly operand
+        nblk = np.ascontiguousarray((mat / norms[:, None]).T)
+        nb = nblk.shape[1]
+        top = min(kk, nb)
+        # self-match masking in O(matches), not an n×Q bool mask;
+        # left/right searchsorted covers DUPLICATE query ids (every
+        # query row sharing the corpus id is masked, not just the
+        # first occurrence — ADVICE r03)
+        lo_p = np.searchsorted(q_sorted, ids, side="left")
+        hi_p = np.searchsorted(q_sorted, ids, side="right")
+        hit = np.flatnonzero(hi_p > lo_p)
+        if len(hit):
+            cnt = hi_p[hit] - lo_p[hit]
+            # flat indices lo..hi per hit, fully vectorized
+            flat = np.arange(cnt.sum()) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            ) + np.repeat(lo_p[hit], cnt)
+            mask_q = q_order[flat]
+            mask_c = np.repeat(hit, cnt)
+        else:
+            mask_q = mask_c = None
+        pos = pos0 + np.arange(nb, dtype=np.int64)
+        for q0 in range(0, Q, qchunk):
+            q1 = min(q0 + qchunk, Q)
+            if q1 - q0 == qchunk and nb == block:
+                sims = sims_buf  # steady-state: zero allocation
+            else:
+                sims = np.empty((q1 - q0, nb), dtype=np.float32)
+            np.dot(q32[q0:q1], nblk, out=sims)
+            if mask_q is not None:
+                sel = (mask_q >= q0) & (mask_q < q1)
+                if sel.any():
+                    sims[mask_q[sel] - q0, mask_c[sel]] = -np.inf
+            # Element-level threshold prune: a sim enters a query's
+            # candidate set only if it beats that query's current
+            # kk-th best, and once every slot is finite (after the
+            # first tile) the expected number of such hits per
+            # query per tile decays as kk/tile — so the post-GEMM
+            # work collapses from an O(Q'·nb) introspective
+            # argpartition every tile (measured 50 ms/tile, 92% of
+            # scan wall) to one SIMD compare pass + a nonzero over
+            # a mostly-false mask + a tiny padded merge of the
+            # hits (in-process: 0.73 → 0.33 s per 25k-row task,
+            # bit-identical candidate sets). The first tile (and
+            # any chunk still holding a -inf slot, e.g. nb < kk
+            # partitions) takes the full argpartition path. Strict
+            # `>` drops exact-f32 ties with the kk-th slot — the
+            # same measure-zero tie class the margin+rescore
+            # argument already covers (see docstring).
+            bs = best_s[q0:q1]
+            bp = best_p[q0:q1]
+            thr = bs.min(axis=1)
+            if np.isneginf(thr).any():  # bootstrap: slots not full
+                idx = np.argpartition(sims, nb - top, axis=1)[:, nb - top:]
+                cand_s = np.concatenate(
+                    [bs, np.take_along_axis(sims, idx, axis=1)], axis=1
+                )
+                cand_p = np.concatenate([bp, pos[idx]], axis=1)
+                keep = np.argpartition(-cand_s, kk - 1, axis=1)[:, :kk]
+                bs[:] = np.take_along_axis(cand_s, keep, axis=1)
+                bp[:] = np.take_along_axis(cand_p, keep, axis=1)
+                continue
+            if q1 - q0 == qchunk and nb == block:
+                mask = mask_buf
+            else:
+                mask = np.empty((q1 - q0, nb), dtype=bool)
+            np.greater(sims, thr[:, None], out=mask)
+            hr, hc = np.nonzero(mask)
+            if not hr.size:
+                continue
+            # pad each hit row's candidates to a rectangle and do
+            # ONE argpartition over (hit_rows, kk + H) — H is the
+            # max hits in any row this tile (usually 1-3)
+            uq, counts = np.unique(hr, return_counts=True)
+            h_max = int(counts.max())
+            r_of = np.searchsorted(uq, hr)
+            cum = np.arange(hr.size) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            pad_s = np.full((uq.size, h_max), -np.inf, dtype=np.float32)
+            pad_p = np.full((uq.size, h_max), -1, dtype=np.int64)
+            pad_s[r_of, cum] = sims[hr, hc]
+            pad_p[r_of, cum] = pos[hc]
+            cand_s = np.concatenate([bs[uq], pad_s], axis=1)
+            cand_p = np.concatenate([bp[uq], pad_p], axis=1)
+            keep = np.argpartition(-cand_s, kk - 1, axis=1)[:, :kk]
+            bs[uq] = np.take_along_axis(cand_s, keep, axis=1)
+            bp[uq] = np.take_along_axis(cand_p, keep, axis=1)
+
+    base = 0
+    for batch in batches:
+        n_rows = batch.num_rows
+        if n_rows == 0:
+            continue
+        ids_all = batch.column(0).to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        # flatten() applies the list offsets; the float32 values
+        # buffer reshapes as a view — the scan never copies to f64
+        mat_all = (
+            batch.column(1)
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float32, copy=False)
+            .reshape(n_rows, -1)
+        )
+        # retained for the rescore gather: Arrow-backed views, so
+        # this holds exactly the partition's own batches (the same
+        # data the task streamed in; bounded by maxPartitionBytes)
+        kept_ids.append(ids_all)
+        kept_mat.append(mat_all)
+        for lo in range(0, n_rows, block):
+            fold(
+                ids_all[lo : lo + block],
+                mat_all[lo : lo + block],
+                base + lo,
+            )
+        base += n_rows
+    if not kept_ids:
+        return
+    all_ids = kept_ids[0] if len(kept_ids) == 1 else np.concatenate(kept_ids)
+    all_mat = kept_mat[0] if len(kept_mat) == 1 else np.vstack(kept_mat)
+    # ---- exact float64 rescore of the margin set ----
+    # slot validity tracked by position (-1 = never filled or
+    # self-masked); scores are recomputed so float32 error never
+    # reaches the emitted ordering
+    live = best_p >= 0
+    flat_p = best_p[live]
+    # gather + normalize each DISTINCT candidate row once (the
+    # Q·kk slots reference ≤ min(Q·kk, partition_rows) rows, so at
+    # fine task granularity this is ∝ partition size, not ∝ Q·kk),
+    # with einsum norms (np.linalg.norm measured 5× slower on this
+    # shape) — rescore stays full float64 end to end
+    uniq, inv = np.unique(flat_p, return_inverse=True)
+    uvecs = all_mat[uniq].astype(np.float64)
+    un = np.sqrt(np.einsum("ij,ij->i", uvecs, uvecs))
+    un[un == 0] = 1.0
+    vecs = uvecs[inv]
+    vn = un[inv]
+    qi = np.repeat(np.arange(len(q_ids)), kk)[live.ravel()]
+    exact = np.einsum("ij,ij->i", q_mat[qi], vecs) / vn
+    ex_s = np.full((Q, kk), -np.inf)
+    ex_s[live] = exact
+    ex_n = np.full((Q, kk), np.iinfo(np.int64).max, dtype=np.int64)
+    ex_n[live] = all_ids[flat_p]
+    # true per-partition top-k by (sim desc, neighbor_id asc) —
+    # the same total order the global window reduce applies
+    order = np.lexsort((ex_n, -ex_s), axis=1)[:, :k]
+    out_s = np.take_along_axis(ex_s, order, axis=1)
+    out_n = np.take_along_axis(ex_n, order, axis=1)
+    out_live = out_s > -np.inf  # queries may see < k rows here
+    out_q = np.repeat(q_ids, k)[out_live.ravel()]
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(out_q, type=pa.int64()),
+            pa.array(out_n[out_live], type=pa.int64()),
+            pa.array(out_s[out_live], type=pa.float64()),
+        ],
+        names=["query_id", "neighbor_id", "sim"],
+    )
+
+
 def cosine_topk_kernel(
     corpus: DataFrame,
     queries: DataFrame,
@@ -281,188 +469,21 @@ def cosine_topk_kernel(
     MARGIN = int(_os.environ.get("LIGRA_ANN_MARGIN", "11"))
 
     def kernel(batches):
-        q_ids, q_mat, q32, q_order, q_sorted = bq.value
-        Q = len(q_ids)
-        kk = k + MARGIN  # float32 candidate slots per query
-        best_s = np.full((Q, kk), -np.inf, dtype=np.float32)
-        # global row position within this partition (batches retained
-        # below); -1 = empty slot
-        best_p = np.full((Q, kk), -1, dtype=np.int64)
-        sims_buf = np.empty((QCHUNK, BLOCK), dtype=np.float32)
-        mask_buf = np.empty((QCHUNK, BLOCK), dtype=bool)
-        kept_ids: list[np.ndarray] = []
-        kept_mat: list[np.ndarray] = []
-
-        def fold(ids, mat, pos0):
-            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-            norms[norms == 0] = 1.0
-            # (dim, nb) contiguous once per block: every query-chunk
-            # matmul reads the same BLAS-friendly operand
-            nblk = np.ascontiguousarray((mat / norms[:, None]).T)
-            nb = nblk.shape[1]
-            top = min(kk, nb)
-            # self-match masking in O(matches), not an n×Q bool mask;
-            # left/right searchsorted covers DUPLICATE query ids (every
-            # query row sharing the corpus id is masked, not just the
-            # first occurrence — ADVICE r03)
-            lo_p = np.searchsorted(q_sorted, ids, side="left")
-            hi_p = np.searchsorted(q_sorted, ids, side="right")
-            hit = np.flatnonzero(hi_p > lo_p)
-            if len(hit):
-                cnt = hi_p[hit] - lo_p[hit]
-                # flat indices lo..hi per hit, fully vectorized
-                flat = np.arange(cnt.sum()) - np.repeat(
-                    np.cumsum(cnt) - cnt, cnt
-                ) + np.repeat(lo_p[hit], cnt)
-                mask_q = q_order[flat]
-                mask_c = np.repeat(hit, cnt)
-            else:
-                mask_q = mask_c = None
-            pos = pos0 + np.arange(nb, dtype=np.int64)
-            for q0 in range(0, Q, QCHUNK):
-                q1 = min(q0 + QCHUNK, Q)
-                if q1 - q0 == QCHUNK and nb == BLOCK:
-                    sims = sims_buf  # steady-state: zero allocation
-                else:
-                    sims = np.empty((q1 - q0, nb), dtype=np.float32)
-                np.dot(q32[q0:q1], nblk, out=sims)
-                if mask_q is not None:
-                    sel = (mask_q >= q0) & (mask_q < q1)
-                    if sel.any():
-                        sims[mask_q[sel] - q0, mask_c[sel]] = -np.inf
-                # Element-level threshold prune: a sim enters a query's
-                # candidate set only if it beats that query's current
-                # kk-th best, and once every slot is finite (after the
-                # first tile) the expected number of such hits per
-                # query per tile decays as kk/tile — so the post-GEMM
-                # work collapses from an O(Q'·nb) introspective
-                # argpartition every tile (measured 50 ms/tile, 92% of
-                # scan wall) to one SIMD compare pass + a nonzero over
-                # a mostly-false mask + a tiny padded merge of the
-                # hits (in-process: 0.73 → 0.33 s per 25k-row task,
-                # bit-identical candidate sets). The first tile (and
-                # any chunk still holding a -inf slot, e.g. nb < kk
-                # partitions) takes the full argpartition path. Strict
-                # `>` drops exact-f32 ties with the kk-th slot — the
-                # same measure-zero tie class the margin+rescore
-                # argument already covers (see docstring).
-                bs = best_s[q0:q1]
-                bp = best_p[q0:q1]
-                thr = bs.min(axis=1)
-                if np.isneginf(thr).any():  # bootstrap: slots not full
-                    idx = np.argpartition(sims, nb - top, axis=1)[:, nb - top:]
-                    cand_s = np.concatenate(
-                        [bs, np.take_along_axis(sims, idx, axis=1)], axis=1
-                    )
-                    cand_p = np.concatenate([bp, pos[idx]], axis=1)
-                    keep = np.argpartition(-cand_s, kk - 1, axis=1)[:, :kk]
-                    bs[:] = np.take_along_axis(cand_s, keep, axis=1)
-                    bp[:] = np.take_along_axis(cand_p, keep, axis=1)
-                    continue
-                if q1 - q0 == QCHUNK and nb == BLOCK:
-                    mask = mask_buf
-                else:
-                    mask = np.empty((q1 - q0, nb), dtype=bool)
-                np.greater(sims, thr[:, None], out=mask)
-                hr, hc = np.nonzero(mask)
-                if not hr.size:
-                    continue
-                # pad each hit row's candidates to a rectangle and do
-                # ONE argpartition over (hit_rows, kk + H) — H is the
-                # max hits in any row this tile (usually 1-3)
-                uq, counts = np.unique(hr, return_counts=True)
-                h_max = int(counts.max())
-                r_of = np.searchsorted(uq, hr)
-                cum = np.arange(hr.size) - np.repeat(
-                    np.cumsum(counts) - counts, counts
-                )
-                pad_s = np.full((uq.size, h_max), -np.inf, dtype=np.float32)
-                pad_p = np.full((uq.size, h_max), -1, dtype=np.int64)
-                pad_s[r_of, cum] = sims[hr, hc]
-                pad_p[r_of, cum] = pos[hc]
-                cand_s = np.concatenate([bs[uq], pad_s], axis=1)
-                cand_p = np.concatenate([bp[uq], pad_p], axis=1)
-                keep = np.argpartition(-cand_s, kk - 1, axis=1)[:, :kk]
-                bs[uq] = np.take_along_axis(cand_s, keep, axis=1)
-                bp[uq] = np.take_along_axis(cand_p, keep, axis=1)
-
-        base = 0
-        for batch in batches:
-            n_rows = batch.num_rows
-            if n_rows == 0:
-                continue
-            ids_all = batch.column(0).to_numpy(zero_copy_only=False).astype(
-                np.int64, copy=False
-            )
-            # flatten() applies the list offsets; the float32 values
-            # buffer reshapes as a view — the scan never copies to f64
-            mat_all = (
-                batch.column(1)
-                .flatten()
-                .to_numpy(zero_copy_only=False)
-                .astype(np.float32, copy=False)
-                .reshape(n_rows, -1)
-            )
-            # retained for the rescore gather: Arrow-backed views, so
-            # this holds exactly the partition's own batches (the same
-            # data the task streamed in; bounded by maxPartitionBytes)
-            kept_ids.append(ids_all)
-            kept_mat.append(mat_all)
-            for lo in range(0, n_rows, BLOCK):
-                fold(
-                    ids_all[lo : lo + BLOCK],
-                    mat_all[lo : lo + BLOCK],
-                    base + lo,
-                )
-            base += n_rows
-        if not kept_ids:
-            return
-        all_ids = kept_ids[0] if len(kept_ids) == 1 else np.concatenate(kept_ids)
-        all_mat = kept_mat[0] if len(kept_mat) == 1 else np.vstack(kept_mat)
-        # ---- exact float64 rescore of the margin set ----
-        # slot validity tracked by position (-1 = never filled or
-        # self-masked); scores are recomputed so float32 error never
-        # reaches the emitted ordering
-        live = best_p >= 0
-        flat_p = best_p[live]
-        # gather + normalize each DISTINCT candidate row once (the
-        # Q·kk slots reference ≤ min(Q·kk, partition_rows) rows, so at
-        # fine task granularity this is ∝ partition size, not ∝ Q·kk),
-        # with einsum norms (np.linalg.norm measured 5× slower on this
-        # shape) — rescore stays full float64 end to end
-        uniq, inv = np.unique(flat_p, return_inverse=True)
-        uvecs = all_mat[uniq].astype(np.float64)
-        un = np.sqrt(np.einsum("ij,ij->i", uvecs, uvecs))
-        un[un == 0] = 1.0
-        vecs = uvecs[inv]
-        vn = un[inv]
-        qi = np.repeat(np.arange(len(q_ids)), kk)[live.ravel()]
-        exact = np.einsum("ij,ij->i", q_mat[qi], vecs) / vn
-        ex_s = np.full((Q, kk), -np.inf)
-        ex_s[live] = exact
-        ex_n = np.full((Q, kk), np.iinfo(np.int64).max, dtype=np.int64)
-        ex_n[live] = all_ids[flat_p]
-        # true per-partition top-k by (sim desc, neighbor_id asc) —
-        # the same total order the global window reduce applies
-        order = np.lexsort((ex_n, -ex_s), axis=1)[:, :k]
-        out_s = np.take_along_axis(ex_s, order, axis=1)
-        out_n = np.take_along_axis(ex_n, order, axis=1)
-        out_live = out_s > -np.inf  # queries may see < k rows here
-        out_q = np.repeat(q_ids, k)[out_live.ravel()]
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(out_q, type=pa.int64()),
-                pa.array(out_n[out_live], type=pa.int64()),
-                pa.array(out_s[out_live], type=pa.float64()),
-            ],
-            names=["query_id", "neighbor_id", "sim"],
-        )
+        yield from _scan_partition(batches, bq.value, k, MARGIN, BLOCK, QCHUNK)
 
     candidates = corpus.select(id_col, vec_col).mapInArrow(
         kernel, "query_id long, neighbor_id long, sim double"
     )
     if _reduce == "none":  # candidate stream, for profiling/custom merge
         return candidates
+    return _topk_reduce(candidates, k)
+
+
+def _topk_reduce(candidates: DataFrame, k: int) -> DataFrame:
+    """Global top-k over per-partition candidate streams: one shuffle of
+    O(P·Q·k) rows, then row_number per query by (sim desc, id asc)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -471,6 +492,95 @@ def cosine_topk_kernel(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def cosine_topk_parquet(
+    corpus_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _reduce: str = "window",
+) -> DataFrame:
+    """``cosine_topk_kernel`` with a storage-direct feed: Spark
+    distributes the corpus's parquet FILES as tasks and each Python
+    worker reads its file with pyarrow locally, so the 100s-of-MB
+    embedding column never crosses the JVM→Python Arrow IPC socket.
+
+    Motivation (measured at 1.6M×128 float32, local[16]): delivering
+    the 820 MB ``array<float>`` column through mapInArrow costs
+    1.2-2.7 s — the JVM's columnar-to-Arrow conversion plus the
+    per-task IPC copy — while the JVM-side scan itself is 0.15 s and
+    pyarrow's native parquet decode of the same files is a fraction of
+    that, fully parallel. At 100-TB scale this is the standard
+    Arrow-native scan layout: the table's file manifest (here a
+    directory listing; an Iceberg snapshot's data files in production)
+    becomes the task list, Spark supplies scheduling/work-stealing/
+    retries, and the data plane stays columnar end to end. Exactness,
+    self-match masking and the float32-scan + float64-rescore contract
+    are identical to ``cosine_topk_kernel`` — both feed the same
+    ``_scan_partition`` kernel (pytest pins path parity)."""
+    import os as _os
+    from pathlib import Path
+
+    import numpy as np
+
+    spark = queries.sparkSession
+    files = sorted(
+        str(p) for p in Path(corpus_path).glob("*.parquet")
+    ) or sorted(str(p) for p in Path(corpus_path).glob("**/*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {corpus_path}")
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm[q_norm == 0] = 1.0
+    q_mat /= q_norm[:, None]
+    q32 = q_mat.astype(np.float32)
+    q_order = np.argsort(q_ids)
+    bq = spark.sparkContext.broadcast(
+        (q_ids, q_mat, q32, q_order, q_ids[q_order])
+    )
+
+    BLOCK = int(_os.environ.get("LIGRA_ANN_BLOCK", "2048"))
+    QCHUNK = int(_os.environ.get("LIGRA_ANN_QCHUNK", "256"))
+    MARGIN = int(_os.environ.get("LIGRA_ANN_MARGIN", "11"))
+
+    def kernel(batches):
+        import pyarrow.parquet as papq
+
+        for b in batches:
+            for path in b.column(0).to_pylist():
+                pf = papq.ParquetFile(path)
+                # column order pinned explicitly — iter_batches returns
+                # file-schema order, not request order
+                # use_threads=False: every Spark worker process already
+                # owns exactly one core — pyarrow's default per-process
+                # threadpool (sized to ALL vCPUs) would oversubscribe
+                # the box #workers × #vCPUs-fold
+                it = (
+                    rb.select([id_col, vec_col])
+                    for rb in pf.iter_batches(
+                        batch_size=1 << 16,
+                        columns=[id_col, vec_col],
+                        use_threads=False,
+                    )
+                )
+                yield from _scan_partition(
+                    it, bq.value, k, MARGIN, BLOCK, QCHUNK
+                )
+
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+    candidates = fdf.mapInArrow(
+        kernel, "query_id long, neighbor_id long, sim double"
+    )
+    if _reduce == "none":
+        return candidates
+    return _topk_reduce(candidates, k)
 
 
 def _table_bucket(vec: Column, dim: int, planes: int, table: int) -> Column:

@@ -60,3 +60,34 @@ def test_lsh_multiprobe_recall_vs_exact(spark):
     r1, r3, r7 = recall(6, 1), recall(6, 3), recall(6, 7)
     assert r1 <= r3 <= r7, (r1, r3, r7)
     assert r7 >= 2 * r1, f"multi-probe gave no lift: {r1} -> {r7}"
+
+
+def test_parquet_scan_matches_kernel_and_exact(spark, tmp_path):
+    """cosine_topk_parquet (worker-local pyarrow file reads) must emit
+    exactly what cosine_topk_kernel (JVM-fed batches) and the zip_with
+    reference path emit on the same corpus — the storage-direct feed is
+    an IO-path change only."""
+    from ligra_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_kernel,
+        cosine_topk_parquet,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "emb_pq")
+    emb.repartition(5).write.parquet(path)
+    pq_emb = spark.read.parquet(path)
+    queries = pq_emb.orderBy("vec_id").limit(17)
+
+    ref = sorted(
+        tuple(r) for r in cosine_topk(pq_emb, queries, k=5).collect()
+    )
+    ker = sorted(
+        tuple(r)
+        for r in cosine_topk_kernel(pq_emb, queries, k=5).collect()
+    )
+    par = sorted(
+        tuple(r)
+        for r in cosine_topk_parquet(path, queries, k=5).collect()
+    )
+    assert par == ker == ref
