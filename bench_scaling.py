@@ -127,6 +127,11 @@ def _one_trial(cpus: int) -> dict:
         SPARK_GRAFT_ANN_Q=os.environ.get("SPARK_GRAFT_ANN_Q", "2000"),
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
         SPARK_GRAFT_ONLY=",".join(SCALING_QUERIES + EXTRA_QUERIES),
+        # the scaling pair measures the DISTRIBUTED engine's N→4N
+        # efficiency; disable the small-graph single-partition kernel
+        # dispatch (graph.py) so pagerank_generic_transcripts keeps
+        # exercising the per-round shuffling path it exists to measure
+        LIGRA_LOCAL_GRAPH_EDGES="0",
     )
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],

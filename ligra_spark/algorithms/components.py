@@ -59,6 +59,28 @@ def connected_components(
         # is the balance). shortcut stays 1 = Components-Shortcut.C
         # parity.
         jumps = (1 if shortcut else 2) if (shortcut or contract) else 0
+    if (
+        checkpointer is None
+        and max_iters >= 1000  # kernel runs to fixpoint; a smaller cap
+        # is a request for PARTIAL labels the kernel cannot honor
+        and (symmetrize or graph.symmetric)
+        and getattr(graph, "closed_edges", None) is None
+        and graph.fits_local_kernel()
+    ):
+        # Whole-graph local dispatch (graph.py:_LocalClosedView): one
+        # Shiloach–Vishkin Arrow pass over the single-partition edge
+        # set replaces the multi-round hash-min loop (each round ~0.5s
+        # of driver orchestration at small scale). Output is the
+        # identical min-id fixpoint — the kernel is direction-agnostic,
+        # exactly the symmetrized semantics this branch requires.
+        # shortcut/jumps/contract only change round schedules, never
+        # the labels (module docstring), so all variants share this
+        # dispatch.
+        from ligra_spark.algorithms.closed import (
+            connected_components_closed,
+        )
+
+        return connected_components_closed(graph.local_view(), metrics=metrics)
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
 
     state = g.vertices.select("id", F.col("id").alias("comp"))

@@ -54,6 +54,19 @@ def label_propagation(
             symmetrize=symmetrize and not graph.symmetric,
             metrics=metrics,
         )
+    if graph.fits_local_kernel():
+        # Whole-graph local dispatch (graph.py:_LocalClosedView): the
+        # closed LP kernel over the single-partition edge set yields
+        # bit-identical labels (deterministic mode + min tie-break,
+        # global changed==0 stop) with all rounds fused in one pass.
+        from ligra_spark.algorithms.closed import label_propagation_closed
+
+        return label_propagation_closed(
+            graph.local_view(),
+            max_iters=max_iters,
+            symmetrize=symmetrize and not graph.symmetric,
+            metrics=metrics,
+        )
     g = graph.symmetrized() if symmetrize and not graph.symmetric else graph
     state = materialize(g.vertices.select("id", F.col("id").alias("label")))
 

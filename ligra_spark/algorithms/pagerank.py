@@ -88,6 +88,23 @@ def pagerank(
         return pagerank_closed(
             graph, damping=damping, tol=tol, max_iters=max_iters, metrics=metrics
         )
+    if checkpointer is None and graph.fits_local_kernel():
+        # Whole-graph local dispatch (graph.py:_LocalClosedView): the
+        # edge set fits one partition, so the closed PageRank kernel
+        # computes the exact global answer in ONE Arrow pass — all
+        # power iterations fused, no per-round driver jobs (the
+        # distributed loop measured >97% driver orchestration at this
+        # scale). Same rounds, same L1 stop, ranks equal up to float
+        # summation order (parity pytest-pinned for the closed path).
+        from ligra_spark.algorithms.closed import pagerank_closed
+
+        return pagerank_closed(
+            graph.local_view(),
+            damping=damping,
+            tol=tol,
+            max_iters=max_iters,
+            metrics=metrics,
+        )
     n = graph.n
     if n == 0:
         return graph.spark.createDataFrame([], "id long, rank double")

@@ -104,6 +104,15 @@ def triangle_count(graph: Graph) -> int:
         from ligra_spark.algorithms.closed import triangle_count_closed
 
         return triangle_count_closed(graph)
+    if graph.fits_local_kernel():
+        # Whole-graph local dispatch (graph.py:_LocalClosedView): the
+        # closed triangle kernel (same (deg, id) compact-forward
+        # orientation, numpy merge of sorted adjacency) counts the
+        # single-partition edge set in one Arrow pass — no wedge
+        # shuffle, no distinct/degree/wedge/semi-join exchanges.
+        from ligra_spark.algorithms.closed import triangle_count_closed
+
+        return triangle_count_closed(graph.local_view())
     ep = materialize(_oriented_edges(graph))
     n = _closed_wedges(ep).count()
     unpersist(ep)

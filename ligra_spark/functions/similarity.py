@@ -348,10 +348,15 @@ def _scan_partition(batches, qarrs, k, margin, block, qchunk):
     all_ids = kept_ids[0] if len(kept_ids) == 1 else np.concatenate(kept_ids)
     all_mat = kept_mat[0] if len(kept_mat) == 1 else np.vstack(kept_mat)
     # ---- exact float64 rescore of the margin set ----
-    # slot validity tracked by position (-1 = never filled or
-    # self-masked); scores are recomputed so float32 error never
-    # reaches the emitted ordering
-    live = best_p >= 0
+    # slot validity tracked by position AND score: a slot filled by the
+    # bootstrap argpartition from a self-masked candidate keeps a valid
+    # best_p with best_s = -inf (scan scopes smaller than k+margin rows
+    # never overwrite it — e.g. a small tail parquet file), and the
+    # float64 rescore would resurrect it as a spurious self-match
+    # (ADVICE r05, medium: a 6-row corpus returned the query itself at
+    # sim 1.0). Scores are recomputed so float32 error never reaches
+    # the emitted ordering.
+    live = (best_p >= 0) & (best_s > -np.inf)
     flat_p = best_p[live]
     # gather + normalize each DISTINCT candidate row once (the
     # Q·kk slots reference ≤ min(Q·kk, partition_rows) rows, so at
@@ -426,7 +431,20 @@ def cosine_topk_kernel(
     top-k escapes the margin set only if > ``margin`` corpus vectors
     tie the kth sim within that width — for real-valued embeddings
     that is measure-zero; the driver oracle (`ann_topk_kernel`)
-    verifies it end-to-end against DuckDB float64 every round."""
+    verifies it end-to-end against DuckDB float64 every round.
+
+    Caveat (ADVICE r05): corpora with EXACT duplicate vectors make
+    float32 ties bit-exact, not measure-zero — the threshold prune's
+    strict ``>`` can then drop a duplicate that the (sim desc, id asc)
+    exact order would keep when more than ``margin`` duplicates tie the
+    kth sim. Dedupe exact-duplicate vectors first (or raise
+    ``LIGRA_ANN_MARGIN`` past the largest duplicate-cluster size) when
+    that tie-break matters.
+
+    The query broadcast lives until the returned DataFrame (whose task
+    closure references it) is garbage-collected; long-lived sessions
+    issuing many calls should drop references so ContextCleaner can
+    reclaim the blocks."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql import Window
@@ -572,9 +590,18 @@ def cosine_topk_parquet(
                     it, bq.value, k, MARGIN, BLOCK, QCHUNK
                 )
 
+    # one file per TASK, pinned: parallelize with numSlices=len(files)
+    # puts exactly one path in each partition. The previous
+    # createDataFrame(...).repartition(n) used round-robin partitioning
+    # with a randomized start, so some tasks got 2 files and others 0 —
+    # reintroducing the stragglers file-granularity is meant to control
+    # (ADVICE r05).
     fdf = spark.createDataFrame(
-        [(f,) for f in files], "path string"
-    ).repartition(len(files))
+        spark.sparkContext.parallelize(
+            [(f,) for f in files], len(files)
+        ),
+        "path string",
+    )
     candidates = fdf.mapInArrow(
         kernel, "query_id long, neighbor_id long, sim double"
     )
