@@ -59,6 +59,23 @@ from pyspark.storagelevel import StorageLevel
 
 from ligra_spark.algorithms._iter import IterMetrics, Timer
 
+# Per-call salt for the PERSISTED kernel outputs below. Spark's
+# CacheManager replaces any subtree whose canonicalized plan matches a
+# persisted DataFrame with the cached relation — and two calls of the
+# same kernel builder pickle to identical bytes, so a repeated
+# pagerank/LP call whose previous result is still persisted would
+# silently become a CACHE READ (the r04 LP bench bug, resurfaced by the
+# whole-graph local dispatch: bench.py's pagerank_events trials never
+# unpersist, and min-of-trials then times a cache hit — measured
+# [1.337, 0.168, 0.168]). Capturing a fresh counter value in each
+# kernel closure makes every call's pickled command bytes unique, so
+# identical repeated calls always recompute; the persist still serves
+# its intra-call purpose (the L1/changed collect + the state readout
+# share one kernel pass).
+import itertools as _itertools
+
+_call_salt = _itertools.count()
+
 
 def closed_counts(edges: DataFrame) -> tuple[int, int]:
     """(n, m) of a closure-partitioned edge table in ONE pass.
@@ -95,11 +112,13 @@ def closed_counts(edges: DataFrame) -> tuple[int, int]:
 def _pr_kernel(n_glob: int, damping: float, iters: int):
     """Build the per-partition PageRank kernel (closure-captured params
     ship by value via cloudpickle; executors need no ligra_spark)."""
+    _salt = next(_call_salt)
 
     def kernel(batches):
         import numpy as np
         import pyarrow as pa
 
+        _ = _salt  # unique pickled bytes per call (see _call_salt)
         srcs, dsts = [], []
         for batch in batches:
             srcs.append(batch.column(0).to_numpy(zero_copy_only=False))
@@ -227,10 +246,13 @@ def pagerank_closed(
 
 
 def _lp_kernel(iters: int, symmetrize: bool):
+    _salt = next(_call_salt)
+
     def kernel(batches):
         import numpy as np
         import pyarrow as pa
 
+        _ = _salt  # unique pickled bytes per call (see _call_salt)
         srcs, dsts = [], []
         for batch in batches:
             srcs.append(batch.column(0).to_numpy(zero_copy_only=False))

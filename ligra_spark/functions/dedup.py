@@ -30,6 +30,29 @@ def _norm_text(text_col: str):
     return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
 
 
+def _spread_small_input(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``id_col`` to the session's default
+    parallelism IFF its scan has fewer partitions than that.
+
+    The doc-pipeline operators below are compute-dense per row (shingle
+    explode + k md5s per shingle); a corpus that arrives as one or two
+    parquet files funnels ALL of that into as many tasks (measured,
+    sf0.1 bench: the 5000-doc single-file corpus ran the entire
+    shingle→16×md5 pipeline in ONE task — 3.4s of a 5.4s query on a
+    31-core-idle box). One tiny exchange of the raw (id, text) rows
+    buys full-core scaling. At 100 TB the corpus has thousands of
+    input splits, so the guard is false and NO extra shuffle is paid
+    — this only ever widens under-split small inputs (guide §2.5
+    "input skew": repartition immediately after the read)."""
+    try:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target, id_col)
+    except Exception:  # pragma: no cover — planning-only guard
+        pass
+    return df
+
+
 def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -67,7 +90,7 @@ def word_shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = df.select(
+    out = _spread_small_input(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(shingles).alias("shingle")
     )
     return out.distinct() if dedupe else out
@@ -185,9 +208,17 @@ def minhash_lsh_pairs(
     the candidates.
 
     Band signatures come straight off the wide signature row (slot
-    order is column order — no sorted collect_list), so the whole
-    candidate generator is: one aggregation shuffle, a posexplode, and
-    the band-bucket equi-join."""
+    order is column order — no sorted collect_list). Docs sharing a
+    band are found by ONE ``groupBy(band, bsig)`` + in-group pair
+    generation (array higher-order functions), not a self-join: the
+    self-join's build side recomputed the whole shingle→k×md5→agg
+    subtree a second time (no exchange reuse across the broadcast
+    boundary — plan-verified), i.e. 2× the signature work at any
+    scale, for the same bucket semantics. Bucket sizes are bounded by
+    the band collision rate (hot buckets only arise from true
+    near-dup clusters), so the per-group pair arrays stay small; the
+    whole candidate generator is now: one aggregation shuffle, a
+    posexplode, one bucket groupBy, and a distinct."""
     rows_per_band = k // bands
     wide = _minhash_wide(df, k, n, id_col, text_col)
     bsigs = F.array(
@@ -202,13 +233,25 @@ def minhash_lsh_pairs(
     band_sig = wide.select(
         "id", F.posexplode(bsigs).alias("band", "bsig")
     )
-    a, b = band_sig.alias("a"), band_sig.alias("b")
-    return (
-        a.join(b, ["band", "bsig"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    buckets = (
+        band_sig.groupBy("band", "bsig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
+    # all ordered pairs within a bucket: ids is sorted ascending and
+    # per-bucket-distinct (each doc emits each band once), so nested
+    # transform over (element, later elements) yields exactly the
+    # id_a < id_b pairs the self-join produced
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def minhash_lsh_jaccard(
@@ -256,7 +299,8 @@ def simhash(
     reassemble the fingerprint with bit ops.
     """
     toks = (
-        df.select(F.col(id_col).alias("id"), F.explode(F.split(_norm_text(text_col), " ")).alias("tok"))
+        _spread_small_input(df, id_col)
+        .select(F.col(id_col).alias("id"), F.explode(F.split(_norm_text(text_col), " ")).alias("tok"))
         .withColumn(
             "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
         )
@@ -319,15 +363,36 @@ def simhash_dup_pairs(
             f"{(1 << width) - 1}"
         ).alias("bkey"),
     )
-    a, b = keys.alias("a"), keys.alias("b")
+    # one groupBy(band, bkey) + in-group pair generation instead of a
+    # band-bucket self-join: the join's build side recomputed the whole
+    # token→simhash pipeline a second time (same fix as
+    # minhash_lsh_pairs; bucket members are (id, simhash) structs so
+    # the Hamming verify runs on the generated pairs directly)
+    buckets = (
+        keys.groupBy("band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("id", "simhash"))
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), "
+                "y -> struct(x.id AS id_a, y.id AS id_b, "
+                "x.simhash AS sh_a, y.simhash AS sh_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, ["band", "bkey"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+        pairs.select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b"))
             ).cast("int").alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
