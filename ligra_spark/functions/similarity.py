@@ -566,39 +566,74 @@ def cosine_topk_parquet(
     QCHUNK = int(_os.environ.get("LIGRA_ANN_QCHUNK", "256"))
     MARGIN = int(_os.environ.get("LIGRA_ANN_MARGIN", "11"))
 
+    # Rows per scan SCOPE: files chain into one _scan_partition scope
+    # (one top-kk candidate state, one Q×k emission) until the scope
+    # would exceed this many retained rows, then it flushes and a new
+    # scope starts. The scope's batches stay resident for the float64
+    # rescore gather, so the cap bounds task memory (default 1M rows =
+    # 512 MB at dim=128 float32) no matter how many files a task owns;
+    # within the cap, chaining amortizes the bootstrap argpartition and
+    # cuts the reduce input from n_files×Q×k to n_scopes×Q×k rows.
+    SCOPE_ROWS = int(_os.environ.get("LIGRA_ANN_SCOPE_ROWS", str(1 << 20)))
+
     def kernel(batches):
         import pyarrow.parquet as papq
 
-        for b in batches:
-            for path in b.column(0).to_pylist():
-                pf = papq.ParquetFile(path)
+        def scopes():
+            # greedy row-count grouping of the task's files (metadata
+            # read only — no data decode before the scope runs)
+            group, rows = [], 0
+            for b in batches:
+                for path in b.column(0).to_pylist():
+                    pf = papq.ParquetFile(path)
+                    nr = pf.metadata.num_rows
+                    if group and rows + nr > SCOPE_ROWS:
+                        yield group
+                        group, rows = [], 0
+                    group.append(pf)
+                    rows += nr
+            if group:
+                yield group
+
+        def scope_batches(pfs):
+            for pf in pfs:
                 # column order pinned explicitly — iter_batches returns
                 # file-schema order, not request order
                 # use_threads=False: every Spark worker process already
                 # owns exactly one core — pyarrow's default per-process
                 # threadpool (sized to ALL vCPUs) would oversubscribe
                 # the box #workers × #vCPUs-fold
-                it = (
-                    rb.select([id_col, vec_col])
-                    for rb in pf.iter_batches(
-                        batch_size=1 << 16,
-                        columns=[id_col, vec_col],
-                        use_threads=False,
-                    )
-                )
-                yield from _scan_partition(
-                    it, bq.value, k, MARGIN, BLOCK, QCHUNK
-                )
+                for rb in pf.iter_batches(
+                    batch_size=1 << 16,
+                    columns=[id_col, vec_col],
+                    use_threads=False,
+                ):
+                    yield rb.select([id_col, vec_col])
 
-    # one file per TASK, pinned: parallelize with numSlices=len(files)
-    # puts exactly one path in each partition. The previous
-    # createDataFrame(...).repartition(n) used round-robin partitioning
-    # with a randomized start, so some tasks got 2 files and others 0 —
-    # reintroducing the stragglers file-granularity is meant to control
-    # (ADVICE r05).
+        for pfs in scopes():
+            yield from _scan_partition(
+                scope_batches(pfs), bq.value, k, MARGIN, BLOCK, QCHUNK
+            )
+
+    # Scan-task count: every local Python stage pays a serialized
+    # ~10 ms/task launch cost (measured: a no-op mapInArrow over
+    # trivial feeds walls 0.40/0.66/1.3 s at 32/64/128 tasks while a
+    # JVM 128-task count is 0.26 s), so one-task-per-FILE overpays
+    # whenever files outnumber cores — the bench's 128-file feed spent
+    # 1.3 s of its 2.5 s scan wall on task dispatch alone. Group files
+    # into at most cores × LIGRA_ANN_WAVES tasks (default 2 waves:
+    # enough work-stealing waves to absorb the host's straggler
+    # spread, half the dispatch tax of 4). Grouping is contiguous and
+    # deterministic (files sorted; slices differ by ≤1 file), each
+    # partition holds its own path list — never round-robin (ADVICE
+    # r05: randomized-start round-robin gave some tasks 2 files and
+    # others 0). A manifest larger than cores × waves (the 100-TB
+    # shape) keeps per-task work ≈ equal at any cluster size.
+    waves = max(1, int(_os.environ.get("LIGRA_ANN_WAVES", "2")))
+    n_tasks = min(len(files), spark.sparkContext.defaultParallelism * waves)
     fdf = spark.createDataFrame(
         spark.sparkContext.parallelize(
-            [(f,) for f in files], len(files)
+            [(f,) for f in files], n_tasks
         ),
         "path string",
     )

@@ -94,3 +94,25 @@ def test_dispatch_threshold_respects_env(mk_graph, monkeypatch):
     assert g.fits_local_kernel()
     monkeypatch.setenv("LIGRA_LOCAL_GRAPH_EDGES", "62")
     assert not g.fits_local_kernel()
+
+
+def test_triangle_parallel_local_random_graph(mk_graph, monkeypatch):
+    """The parallel local triangle path (driver-side orientation +
+    broadcast wedge probe, r06) must match the distributed wedge-join
+    plan on a messy graph: duplicate edges, self-loops, skewed hub,
+    multiple wedge-balanced chunks."""
+    import random
+
+    from ligra_spark.algorithms import triangle_count
+
+    rnd = random.Random(23)
+    edges = [(rnd.randrange(60), rnd.randrange(60)) for _ in range(900)]
+    edges += [(7, 7), (3, 3)]                 # self-loops
+    edges += edges[:50]                       # duplicates
+    edges += [(0, i) for i in range(1, 40)]   # hub skew
+    g = mk_graph(edges, dedupe=True)
+    monkeypatch.setenv("LIGRA_LOCAL_GRAPH_EDGES", "0")
+    want = triangle_count(g)
+    monkeypatch.setenv("LIGRA_LOCAL_GRAPH_EDGES", "1000000")
+    got = triangle_count(g)
+    assert got == want > 0
