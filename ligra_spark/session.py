@@ -22,6 +22,15 @@ _DEFAULTS = {
     # Arrow transfer for pandas/Arrow UDF kernels and toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # JVM↔Python worker control plane over unix domain sockets
+    # (Spark 4.1): every Python task pays a serialized per-task
+    # handshake with its worker; over TCP+auth a no-op mapInArrow
+    # stage measured 0.49/1.28 s at 32/128 tasks (vs 0.26 s for a
+    # 128-task JVM-only stage), with UDS 0.41/1.0 s — ~20% off the
+    # dispatch floor that bounds every Arrow-kernel query. Worker and
+    # executor are host-local by construction (cluster or local), so
+    # UDS applies unchanged at any scale.
+    "spark.python.unix.domain.socket.enabled": "true",
     # Iterative algorithms re-broadcast small frontiers every round;
     # keep the threshold generous (frontiers are (id[,payload]) rows).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
