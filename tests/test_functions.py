@@ -312,3 +312,58 @@ def test_embedding_dup_pairs_lsh_subset_of_exact(spark):
     }
     assert lsh <= exact
     assert (0, 99) in lsh
+
+
+def test_lsh_bucket_pairgen_equals_selfjoin(spark):
+    """The r06 groupBy + in-group pair generation must emit exactly the
+    pairs the band-bucket self-join produced, on a corpus with real
+    near-dup clusters (bucket sizes > 2 exercise the nested
+    transform)."""
+    from pyspark.sql import functions as F
+
+    from ligra_spark.functions.dedup import _minhash_wide, simhash_dup_pairs
+
+    rows = []
+    for i in range(40):
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        variant = base if i % 4 else base + f" extra{i % 8}"
+        rows.append((i, f"{variant} tail{i % 5}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, k=16, bands=4).collect()
+    }
+    # reference: the pre-r06 band self-join formulation
+    wide = _minhash_wide(docs, 16, 3, "doc_id", "text")
+    bsigs = F.array(
+        *[
+            F.concat_ws("|", *[F.col(f"mh{b * 4 + r}") for r in range(4)])
+            for b in range(4)
+        ]
+    )
+    band_sig = wide.select("id", F.posexplode(bsigs).alias("band", "bsig"))
+    a, b = band_sig.alias("a"), band_sig.alias("b")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, ["band", "bsig"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 10
+
+    # simhash: banded groupBy pair-gen vs brute-force Hamming verify
+    h = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    want_sh = {
+        (i, j, bin(h[i] ^ h[j]).count("1"))
+        for i in h
+        for j in h
+        if i < j and bin(h[i] ^ h[j]).count("1") <= 6
+    }
+    got_sh = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_dup_pairs(docs, max_hamming=6, bands=10).collect()
+    }
+    assert got_sh == want_sh and len(got_sh) > 0
