@@ -91,3 +91,38 @@ def test_parquet_scan_matches_kernel_and_exact(spark, tmp_path):
         for r in cosine_topk_parquet(path, queries, k=5).collect()
     )
     assert par == ker == ref
+
+
+def test_kernel_duplicate_heavy_corpus(spark, tmp_path, monkeypatch):
+    """ADVICE r05 caveat, pinned: corpora with EXACT duplicate vectors
+    make float32 ties bit-exact; with margin >= the largest duplicate
+    cluster the kernel's threshold prune still emits the exact
+    (sim desc, id asc) top-k. Also exercises the r06 scope chaining
+    (multiple small files per task) on a tie-heavy input."""
+    import numpy as np
+
+    from ligra_spark.functions.similarity import (
+        cosine_topk,
+        cosine_topk_parquet,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(12, 8)).astype(np.float32)
+    rows = []
+    vid = 0
+    for i in range(12):
+        for _ in range(6):  # 6 exact duplicates of each base vector
+            rows.append((vid, [float(x) for x in base[i]]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "dup_pq")
+    emb.repartition(9).write.parquet(path)
+    pq_emb = spark.read.parquet(path)
+    queries = pq_emb.orderBy("vec_id").limit(7)
+
+    monkeypatch.setenv("LIGRA_ANN_MARGIN", "8")  # > duplicate cluster (6)
+    ref = sorted(tuple(r) for r in cosine_topk(pq_emb, queries, k=5).collect())
+    par = sorted(
+        tuple(r) for r in cosine_topk_parquet(path, queries, k=5).collect()
+    )
+    assert par == ref
